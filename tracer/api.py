@@ -1,0 +1,167 @@
+"""User-facing API: render / grad_step / benchmark.
+
+Reference parity: this layer replaces the reference's `main()` + window loop
+(SURVEY.md R8, layer L8) with a headless, jit-compiled API and CLI
+(bin/trace, bin/bench). "Real-time" is demonstrated by frame-sequence
+rendering at benchmark rates rather than an interactive window.
+"""
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tracer.core.camera import Camera, generate_rays
+from tracer.render.whitted import WhittedConfig, render_wavefront, make_brute_tracers
+from tracer.scene import cornell_box, bunny_scene, columned_hall, random_tri_soup, load_obj
+from tracer.scene.types import Scene
+from tracer.utils.config import RenderConfig, load_config
+
+
+def get_scene(cfg: RenderConfig) -> tuple[Scene, Camera]:
+    """Resolve the scene + canonical camera named by the config."""
+    if cfg.scene == "cornell":
+        scene, cam = cornell_box()
+    elif cfg.scene == "bunny":
+        scene, cam = bunny_scene(subdiv=cfg.scene_arg or 5)
+    elif cfg.scene == "hall":
+        scale = max(cfg.scene_arg, 0)
+        scene, cam = columned_hall(
+            cols_x=12 * (1 + scale), cols_z=8 * (1 + scale), blob_subdiv=4 + (1 if scale else 0)
+        )
+    elif cfg.scene == "bench":
+        from tracer.scene.procedural import bench_scene
+
+        scene, cam = bench_scene()
+    elif cfg.scene == "soup":
+        scene = random_tri_soup(cfg.scene_arg or 1024)
+        cam = dict(position=(0.0, 0.5, 3.0), look_at=(0.0, 0.0, 0.0), fov_y_deg=45.0)
+    elif cfg.scene.startswith("obj:"):
+        scene = load_obj(cfg.scene[4:])
+        lo = np.asarray(scene.verts).min(0)
+        hi = np.asarray(scene.verts).max(0)
+        c = (lo + hi) / 2
+        cam = dict(
+            position=tuple(c + np.array([0.0, 0.3, 1.2]) * np.linalg.norm(hi - lo)),
+            look_at=tuple(c),
+            fov_y_deg=45.0,
+        )
+    else:
+        raise ValueError(f"unknown scene '{cfg.scene}'")
+    return scene, Camera.make(**cam)
+
+
+def build_tracers(scene: Scene, cfg: RenderConfig):
+    """Pick the tracing backend: brute force, jnp BVH, or Pallas BVH."""
+    if cfg.use_bvh:
+        from tracer.bvh import build_scene_accel
+        from tracer.kernels import make_accel_tracers
+
+        accel = build_scene_accel(scene)
+        return make_accel_tracers(scene, accel, use_pallas=cfg.use_pallas)
+    return make_brute_tracers(scene)
+
+
+def _whitted_cfg(cfg: RenderConfig) -> WhittedConfig:
+    return WhittedConfig(max_bounces=cfg.max_bounces, smooth_shading=cfg.smooth_shading)
+
+
+def make_render_fn(scene: Scene, cfg: RenderConfig):
+    """Build the jitted (scene, camera) -> image function for this config.
+
+    The scene geometry is a traced argument (differentiable); tracer choice
+    and image size are static.
+    """
+    trace_fn_builder = partial(build_tracers, cfg=cfg)
+    wcfg = _whitted_cfg(cfg)
+
+    @jax.jit
+    def run(scene: Scene, camera: Camera) -> jax.Array:
+        trace_fn, occlude_fn = trace_fn_builder(scene)
+        rays = generate_rays(camera, cfg.height, cfg.width)
+        return render_wavefront(scene, rays, wcfg, trace_fn, occlude_fn)
+
+    return run
+
+
+def render(config: str | RenderConfig | None = None, **overrides) -> np.ndarray:
+    """One-call render: resolve config -> scene -> jit -> (H, W, 3) float32."""
+    cfg = config if isinstance(config, RenderConfig) else load_config(config, **overrides)
+    scene, camera = get_scene(cfg)
+    run = make_render_fn(scene, cfg)
+    return np.asarray(run(scene, camera))
+
+
+def grad_step(scene: Scene, camera: Camera, target: jax.Array, cfg: RenderConfig,
+              optimizer=None, opt_state=None, params=None):
+    """One optimization step of L2(render(scene), target) w.r.t. scene params.
+
+    `params` selects what is optimized: dict with optional keys
+    'verts', 'albedo', 'cam_pos'. Returns (loss, new_params, new_opt_state).
+    Used by the inverse-rendering demo (BASELINE config 3); the edge-aware
+    gradient path lives in tracer.diff.
+    """
+    import optax
+
+    if params is None:
+        params = {"verts": scene.verts}
+    if optimizer is None:
+        optimizer = optax.adam(1e-3)
+    if opt_state is None:
+        opt_state = optimizer.init(params)
+
+    wcfg = _whitted_cfg(cfg)
+
+    def loss_fn(p):
+        import dataclasses as dc
+
+        s = scene
+        if "verts" in p:
+            s = dc.replace(s, verts=p["verts"])
+        if "albedo" in p:
+            s = dc.replace(s, materials=dc.replace(s.materials, albedo=p["albedo"]))
+        cam = camera
+        if "cam_pos" in p:
+            cam = dc.replace(cam, position=p["cam_pos"])
+        trace_fn, occlude_fn = build_tracers(s, cfg)
+        rays = generate_rays(cam, cfg.height, cfg.width)
+        img = render_wavefront(s, rays, wcfg, trace_fn, occlude_fn)
+        return jnp.mean((img - target) ** 2)
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return loss, params, opt_state
+
+
+def benchmark(config: str | RenderConfig | None = None, iters: int = 10,
+              warmup: int = 2, **overrides) -> dict:
+    """Timed forward renders -> rays/s and ms/frame."""
+    cfg = config if isinstance(config, RenderConfig) else load_config(config, **overrides)
+    scene, camera = get_scene(cfg)
+    run = make_render_fn(scene, cfg)
+    img = run(scene, camera)
+    img.block_until_ready()
+    for _ in range(max(warmup - 1, 0)):
+        run(scene, camera).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        img = run(scene, camera)
+    img.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    primary_rays = cfg.height * cfg.width
+    # Count every traced wavefront: per bounce one closest-hit pass plus one
+    # shadow pass per light (the standard rays/s accounting for Whitted).
+    rays_per_frame = primary_rays * cfg.max_bounces * (1 + scene.lights.count)
+    return {
+        "config": cfg,
+        "ms_per_frame": dt * 1e3,
+        "fps": 1.0 / dt,
+        "rays_per_s": rays_per_frame / dt,
+        "primary_rays_per_s": primary_rays * cfg.max_bounces / dt,
+        "num_tris": scene.num_tris,
+        "image": np.asarray(img),
+    }

@@ -1,0 +1,101 @@
+"""Tile/ray data parallelism (SURVEY.md T10): image rows sharded across the
+'data' mesh axis, geometry + BVH replicated.
+
+Idiomatic JAX SPMD: annotate the primary-ray wavefront with a
+NamedSharding and let XLA partition the whole trace/shade pipeline — every
+per-ray op partitions trivially along the ray axis, so no communication
+happens until (a) the final image assembly or (b) the gradient psum in the
+backward pass (which XLA inserts automatically and overlaps; the explicitly
+bucketed/overlapped variant lives in grad_overlap.py).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tracer.core.camera import Camera, generate_rays
+from tracer.core.types import Ray
+from tracer.dist.mesh import DATA_AXIS, make_render_mesh
+from tracer.render.whitted import WhittedConfig, render_wavefront, make_brute_tracers
+from tracer.scene.types import Scene
+
+
+def shard_rays(rays: Ray, mesh: jax.sharding.Mesh) -> Ray:
+    """Constrain the ray wavefront to be row-sharded over the data axis."""
+    sh = NamedSharding(mesh, P(DATA_AXIS))
+    return Ray(
+        o=jax.lax.with_sharding_constraint(rays.o, sh),
+        d=jax.lax.with_sharding_constraint(rays.d, sh),
+    )
+
+
+def make_sharded_render_fn(scene: Scene, cfg, mesh: jax.sharding.Mesh, tracer_builder=None):
+    """Jitted sharded render: (scene, camera) -> (H, W, 3), H sharded."""
+    wcfg = WhittedConfig(max_bounces=cfg.max_bounces, smooth_shading=cfg.smooth_shading)
+    builder = tracer_builder or make_brute_tracers
+
+    @jax.jit
+    def run(scene: Scene, camera: Camera) -> jax.Array:
+        trace_fn, occlude_fn = builder(scene)
+        rays = generate_rays(camera, cfg.height, cfg.width)
+        rays = shard_rays(rays, mesh)
+        return render_wavefront(scene, rays, wcfg, trace_fn, occlude_fn)
+
+    return run
+
+
+def make_sharded_grad_fn(scene: Scene, cfg, mesh: jax.sharding.Mesh, tracer_builder=None):
+    """Jitted sharded loss+grad w.r.t. vertex positions: the pixel loss is a
+    mean over sharded rays, so XLA emits the cross-chip grad reduction
+    (psum) inside the backward pass."""
+    import dataclasses as dc
+
+    wcfg = WhittedConfig(max_bounces=cfg.max_bounces, smooth_shading=cfg.smooth_shading)
+    builder = tracer_builder or make_brute_tracers
+
+    @jax.jit
+    def step(scene: Scene, camera: Camera, target: jax.Array):
+        def loss_fn(verts):
+            s = dc.replace(scene, verts=verts)
+            trace_fn, occlude_fn = builder(s)
+            rays = generate_rays(camera, cfg.height, cfg.width)
+            rays = shard_rays(rays, mesh)
+            img = render_wavefront(s, rays, wcfg, trace_fn, occlude_fn)
+            return jnp.mean((img - target) ** 2)
+
+        return jax.value_and_grad(loss_fn)(scene.verts)
+
+    return step
+
+
+def dryrun(devices) -> None:
+    """One sharded render + one sharded grad step on tiny shapes.
+
+    Used by __graft_entry__.dryrun_multichip on a virtual CPU mesh to prove
+    the multi-chip sharding compiles and executes.
+    """
+    import numpy as np
+
+    from tracer.api import get_scene
+    from tracer.utils.config import load_config
+
+    n = len(devices)
+    mesh = make_render_mesh(devices, data=n, geom=1)
+    # Tiny but sharded-divisible image.
+    cfg = load_config("cornell256", height=8 * n, width=16)
+    scene, camera = get_scene(cfg)
+
+    run = make_sharded_render_fn(scene, cfg, mesh)
+    img = run(scene, camera)
+    img.block_until_ready()
+    assert img.shape == (cfg.height, cfg.width, 3)
+
+    step = make_sharded_grad_fn(scene, cfg, mesh)
+    target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    loss, grads = step(scene, camera, target)
+    loss.block_until_ready()
+    assert grads.shape == scene.verts.shape
+    assert bool(jnp.isfinite(loss)), "non-finite loss in sharded grad step"

@@ -1,0 +1,115 @@
+"""Scene representation: geometry + materials + lights, SoA pytrees.
+
+Reference parity: the OpenCL reference's scene loader produces triangle
+arrays, materials and lights uploaded as device buffers (SURVEY.md R7,
+BASELINE capability "scene loading"). Here a Scene is a frozen pytree of
+jnp arrays so the whole scene jit-traces, shards, and differentiates.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Lights:
+    """Point lights: position (L,3), intensity (L,3) (RGB radiant power)."""
+
+    position: jax.Array
+    intensity: jax.Array
+
+    @property
+    def count(self) -> int:
+        return self.position.shape[0]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Materials:
+    """Per-material SoA. Indexed by Scene.mat_id.
+
+    albedo:   (M, 3) diffuse reflectance
+    emission: (M, 3) emitted radiance
+    mirror:   (M,)   specular reflectivity in [0,1] (Whitted mirror bounce)
+    """
+
+    albedo: jax.Array
+    emission: jax.Array
+    mirror: jax.Array
+
+    @staticmethod
+    def make(albedo, emission=None, mirror=None) -> "Materials":
+        albedo = jnp.asarray(albedo, jnp.float32)
+        m = albedo.shape[0]
+        return Materials(
+            albedo=albedo,
+            emission=jnp.zeros((m, 3), jnp.float32) if emission is None else jnp.asarray(emission, jnp.float32),
+            mirror=jnp.zeros((m,), jnp.float32) if mirror is None else jnp.asarray(mirror, jnp.float32),
+        )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Scene:
+    """verts (V,3) f32; tris (T,3) i32; mat_id (T,) i32; materials; lights.
+
+    `normals` are per-vertex shading normals, (V,3); geometric normals are
+    derived from winding when smooth shading is off.
+    """
+
+    verts: jax.Array
+    tris: jax.Array
+    mat_id: jax.Array
+    materials: Materials
+    lights: Lights
+    normals: jax.Array
+
+    @property
+    def num_tris(self) -> int:
+        return self.tris.shape[0]
+
+    @staticmethod
+    def make(verts, tris, mat_id, materials, lights, normals=None) -> "Scene":
+        verts = jnp.asarray(verts, jnp.float32)
+        tris = jnp.asarray(tris, jnp.int32)
+        if normals is None:
+            normals = compute_vertex_normals(np.asarray(verts), np.asarray(tris))
+        return Scene(
+            verts=verts,
+            tris=tris,
+            mat_id=jnp.asarray(mat_id, jnp.int32),
+            materials=materials,
+            lights=lights,
+            normals=jnp.asarray(normals, jnp.float32),
+        )
+
+
+def compute_vertex_normals(verts: np.ndarray, tris: np.ndarray) -> np.ndarray:
+    """Area-weighted vertex normals (host-side, at load time)."""
+    v0, v1, v2 = verts[tris[:, 0]], verts[tris[:, 1]], verts[tris[:, 2]]
+    fn = np.cross(v1 - v0, v2 - v0)  # area-weighted face normals
+    out = np.zeros_like(verts)
+    for k in range(3):
+        np.add.at(out, tris[:, k], fn)
+    norm = np.linalg.norm(out, axis=-1, keepdims=True)
+    return (out / np.maximum(norm, 1e-20)).astype(np.float32)
+
+
+def merge_meshes(parts):
+    """Concatenate (verts, tris, mat_id) triples with index fix-up."""
+    verts, tris, mats = [], [], []
+    off = 0
+    for v, t, m in parts:
+        verts.append(v)
+        tris.append(np.asarray(t) + off)
+        mats.append(m)
+        off += len(v)
+    return (
+        np.concatenate(verts, axis=0),
+        np.concatenate(tris, axis=0),
+        np.concatenate(mats, axis=0),
+    )
