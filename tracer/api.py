@@ -60,8 +60,11 @@ def build_tracers(scene: Scene, cfg: RenderConfig):
         from tracer.bvh import build_scene_accel
         from tracer.kernels import make_accel_tracers
 
+        # Pallas (Mosaic) kernels only exist on TPU; everywhere else the
+        # jnp cluster path is the same algorithm compiled by XLA.
+        use_pallas = cfg.use_pallas and jax.default_backend() == "tpu"
         accel = build_scene_accel(scene)
-        return make_accel_tracers(scene, accel, use_pallas=cfg.use_pallas)
+        return make_accel_tracers(scene, accel, use_pallas=use_pallas)
     return make_brute_tracers(scene)
 
 

@@ -1,0 +1,421 @@
+"""Traversal backends over the cluster acceleration structure.
+
+Reference parity: this replaces the reference's divergent per-ray stack
+traversal + per-leaf Moller-Trumbore (SURVEY.md R2/R3, the OpenCL hot loop)
+with a TPU-native wavefront design (BASELINE: "stackless/short-stack
+traversal over a flattened LBVH, wavefront ray batching, SoA triangle
+layout"):
+
+  1. rays are tiled into coherent blocks of TR (image-space tiles for
+     primary rays, chunks for secondary wavefronts);
+  2. bvh.cull produces per-tile candidate cluster lists (conservative);
+  3. the hot loop intersects (tile, candidate-cluster) pairs as dense
+     (TR, 4) x (4, 3C) products with an elementwise epilogue and a masked
+     running-min reduction.
+
+Two implementations of step 3 with identical numerics:
+  * `trace_tiles_jnp` — lax.scan over candidate slots; pure jnp; runs
+    anywhere; the correctness reference and the differentiable path.
+  * `trace_tiles_pallas` — a Pallas/Mosaic kernel over a flattened
+    (tile, cluster) work list: scalar-prefetched indices drive the block
+    pipeline (cluster blocks stream HBM->VMEM, double-buffered; repeated
+    indices on padding items are elided), and the output tile block stays
+    resident in VMEM across its consecutive work items (the running min
+    never round-trips to HBM).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tracer.bvh.cluster import ClusterAccel
+from tracer.bvh.cull import cull_clusters
+from tracer.core.types import Ray, Hit, T_FAR
+
+DEFAULT_TILE = 256  # rays per tile (= 2 sublane rows of 128 lanes)
+T_MIN = 1e-4
+
+
+# ---------------------------------------------------------------------------
+# Ray tiling
+# ---------------------------------------------------------------------------
+
+class Tiling(NamedTuple):
+    batch_shape: tuple
+    n_rays: int
+    tile_hw: tuple | None  # (th, tw, H, W) when image-tiled
+
+
+def tile_rays(o: jax.Array, d: jax.Array, tr: int = DEFAULT_TILE):
+    """(..., 3) ray SoA -> (Ntiles, TR, 3) + tiling info.
+
+    2D (H, W) batches are tiled spatially (16x16 blocks when TR=256) for
+    frustum coherence; other shapes are chunked in order. Padding rays have
+    d = 0 and can never hit.
+    """
+    batch_shape = o.shape[:-1]
+    if len(batch_shape) == 2:
+        H, W = batch_shape
+        th = tw = int(tr ** 0.5)
+        if th * tw == tr and H % th == 0 and W % tw == 0:
+            def fold(x):
+                f = x.reshape(H // th, th, W // tw, tw, 3)
+                return f.transpose(0, 2, 1, 3, 4).reshape(-1, tr, 3)
+
+            return fold(o), fold(d), Tiling(batch_shape, H * W, (th, tw, H, W))
+    o = o.reshape(-1, 3)
+    d = d.reshape(-1, 3)
+    n = o.shape[0]
+    n_pad = -(-n // tr) * tr
+    if n_pad != n:
+        o = jnp.concatenate([o, jnp.zeros((n_pad - n, 3), o.dtype)])
+        d = jnp.concatenate([d, jnp.zeros((n_pad - n, 3), d.dtype)])
+    return o.reshape(-1, tr, 3), d.reshape(-1, tr, 3), Tiling(batch_shape, n, None)
+
+
+def untile(x: jax.Array, tiling: Tiling):
+    """(Ntiles, TR, ...) -> original batch shape."""
+    tail = x.shape[2:]
+    if tiling.tile_hw is not None:
+        th, tw, H, W = tiling.tile_hw
+        x = x.reshape(H // th, W // tw, th, tw, *tail)
+        perm = (0, 2, 1, 3) + tuple(range(4, 4 + len(tail)))
+        return x.transpose(perm).reshape(H, W, *tail)
+    x = x.reshape(-1, *tail)[: tiling.n_rays]
+    return x.reshape(*tiling.batch_shape, *tail)
+
+
+def _homog(o: jax.Array, d: jax.Array):
+    ones = jnp.ones(o.shape[:-1] + (1,), o.dtype)
+    return (
+        jnp.concatenate([o, ones], axis=-1),
+        jnp.concatenate([d, jnp.zeros_like(ones)], axis=-1),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shared epilogue (field-major layout: cols [0:C)=plane, [C:2C)=u, [2C:3C)=v)
+# ---------------------------------------------------------------------------
+
+def _affine_products(o4, d4, w):
+    """so, sd = o4 @ w, d4 @ w via explicit broadcast FMA (pure VPU fp32 —
+    no MXU bf16 rounding, identical numerics on every backend).
+
+    o4, d4: (..., TR, 4); w: (..., 4, 3C) -> (..., TR, 3C)."""
+    so = (
+        o4[..., :, 0:1] * w[..., 0:1, :]
+        + o4[..., :, 1:2] * w[..., 1:2, :]
+        + o4[..., :, 2:3] * w[..., 2:3, :]
+        + o4[..., :, 3:4] * w[..., 3:4, :]
+    )
+    sd = (
+        d4[..., :, 0:1] * w[..., 0:1, :]
+        + d4[..., :, 1:2] * w[..., 1:2, :]
+        + d4[..., :, 2:3] * w[..., 2:3, :]
+        + d4[..., :, 3:4] * w[..., 3:4, :]
+    )
+    return so, sd
+
+
+def _field_epilogue(so, sd, c, t_min, t_max):
+    """(..., 3C) products -> (t, u, v, hit) each (..., C)."""
+    den = sd[..., 0:c]
+    safe = jnp.abs(den) > 1e-12
+    t = -so[..., 0:c] / jnp.where(safe, den, 1.0)
+    u = so[..., c : 2 * c] + t * sd[..., c : 2 * c]
+    v = so[..., 2 * c : 3 * c] + t * sd[..., 2 * c : 3 * c]
+    hit = safe & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > t_min) & (t < t_max)
+    return jnp.where(hit, t, T_FAR), u, v, hit
+
+
+# ---------------------------------------------------------------------------
+# jnp reference / differentiable path
+# ---------------------------------------------------------------------------
+
+def trace_tiles_jnp(o_t, d_t, accel: ClusterAccel, cand, counts, t_min=T_MIN):
+    """Closest-hit over candidate clusters, lax.scan over candidate slots.
+
+    o_t, d_t: (Ntiles, TR, 3). Returns (t, tri, u, v) each (Ntiles, TR).
+    """
+    n_tiles, tr, _ = o_t.shape
+    c = accel.cluster_size
+    o4, d4 = _homog(o_t, d_t)
+    k_cap = cand.shape[1]
+
+    def step(carry, k):
+        bt, btri, bu, bv = carry
+        cidx = cand[:, k]  # (Ntiles,)
+        w = accel.tri_w[cidx]  # (Ntiles, 4, 3C)
+        ids = accel.tri_ids[cidx]  # (Ntiles, C)
+        so, sd = _affine_products(o4, d4, w)
+        t, u, v, _ = _field_epilogue(so, sd, c, t_min, T_FAR)
+        active = (k < counts)[:, None]
+        t = jnp.where(active[..., None], t, T_FAR)
+        tmin = jnp.min(t, axis=-1)  # (Ntiles, TR)
+        am = jnp.argmin(t, axis=-1)
+        onehot = am[..., None] == jnp.arange(c)[None, None, :]
+        ub = jnp.sum(jnp.where(onehot, u, 0.0), axis=-1)
+        vb = jnp.sum(jnp.where(onehot, v, 0.0), axis=-1)
+        idb = jnp.sum(jnp.where(onehot, ids[:, None, :], 0), axis=-1).astype(jnp.int32)
+        better = tmin < bt
+        return (
+            jnp.where(better, tmin, bt),
+            jnp.where(better, idb, btri),
+            jnp.where(better, ub, bu),
+            jnp.where(better, vb, bv),
+        ), None
+
+    init = (
+        jnp.full((n_tiles, tr), T_FAR, jnp.float32),
+        jnp.full((n_tiles, tr), -1, jnp.int32),
+        jnp.zeros((n_tiles, tr), jnp.float32),
+        jnp.zeros((n_tiles, tr), jnp.float32),
+    )
+    (bt, btri, bu, bv), _ = jax.lax.scan(step, init, jnp.arange(k_cap, dtype=jnp.int32))
+    return bt, btri, bu, bv
+
+
+def any_hit_tiles_jnp(o_t, d_t, t_max_t, accel: ClusterAccel, cand, counts, t_min=T_MIN):
+    """Occlusion over candidate clusters. t_max_t: (Ntiles, TR)."""
+    n_tiles, tr, _ = o_t.shape
+    c = accel.cluster_size
+    o4, d4 = _homog(o_t, d_t)
+    k_cap = cand.shape[1]
+
+    def step(occ, k):
+        cidx = cand[:, k]
+        w = accel.tri_w[cidx]
+        so, sd = _affine_products(o4, d4, w)
+        _, _, _, hit = _field_epilogue(so, sd, c, t_min, t_max_t[..., None])
+        active = (k < counts)[:, None]
+        return occ | (jnp.any(hit, axis=-1) & active), None
+
+    occ0 = jnp.zeros((n_tiles, tr), bool)
+    occ, _ = jax.lax.scan(step, occ0, jnp.arange(k_cap, dtype=jnp.int32))
+    return occ
+
+
+# ---------------------------------------------------------------------------
+# Work-list construction (shared by the Pallas kernels)
+# ---------------------------------------------------------------------------
+
+def build_worklist(cand, counts, work_cap: int):
+    """Flatten per-tile candidate lists into a tile-ordered work list.
+
+    Every tile contributes max(count, 1) items (so each output tile block is
+    visited and initialized at least once). Padding items repeat the final
+    item (monotone tile order preserved). Returns (tile_of, cluster_of,
+    valid, overflow)."""
+    n_tiles, k_cap = cand.shape
+    eff = jnp.maximum(counts, 1)
+    mask = jnp.arange(k_cap, dtype=jnp.int32)[None, :] < eff[:, None]
+    flat = mask.reshape(-1)
+    total = jnp.sum(eff)
+    idx = jnp.nonzero(flat, size=work_cap, fill_value=n_tiles * k_cap - 1)[0].astype(jnp.int32)
+    tile_of = idx // k_cap
+    k_of = idx % k_cap
+    cluster_of = cand[tile_of, k_of]
+    in_range = jnp.arange(work_cap, dtype=jnp.int32) < total
+    valid = (in_range & (k_of < counts[tile_of])).astype(jnp.int32)
+    overflow = total > work_cap
+    return tile_of, cluster_of, valid, overflow
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels
+# ---------------------------------------------------------------------------
+
+def _closest_kernel(c, t_min, tile_of, cluster_of, valid,
+                    o4_ref, d4_ref, w_ref, ids_ref,
+                    bt_ref, btri_ref, bu_ref, bv_ref):
+    # Column layout throughout: best-state refs are (1, TR, 1) so lane-axis
+    # reductions over C land directly in the output layout (no relayout).
+    i = pl.program_id(0)
+    prev = tile_of[jnp.maximum(i - 1, 0)]
+    first = jnp.logical_or(i == 0, tile_of[i] != prev)
+
+    @pl.when(first)
+    def _():
+        bt_ref[:] = jnp.full(bt_ref.shape, T_FAR, jnp.float32)
+        btri_ref[:] = jnp.full(btri_ref.shape, -1, jnp.int32)
+        bu_ref[:] = jnp.zeros(bu_ref.shape, jnp.float32)
+        bv_ref[:] = jnp.zeros(bv_ref.shape, jnp.float32)
+
+    @pl.when(valid[i] == 1)
+    def _():
+        o4 = o4_ref[0]  # (TR, 4)
+        d4 = d4_ref[0]
+        w = w_ref[0]  # (4, 3C)
+        so, sd = _affine_products(o4, d4, w)
+        t, u, v, _ = _field_epilogue(so, sd, c, t_min, T_FAR)
+        tmin = jnp.min(t, axis=-1, keepdims=True)  # (TR, 1)
+        # First-match one-hot of the minimum (Mosaic-safe argmin).
+        iota = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+        am = jnp.min(jnp.where(t == tmin, iota, c), axis=-1, keepdims=True)
+        onehot = iota == am
+        ub = jnp.sum(jnp.where(onehot, u, 0.0), axis=-1, keepdims=True)
+        vb = jnp.sum(jnp.where(onehot, v, 0.0), axis=-1, keepdims=True)
+        ids = ids_ref[0]  # (1, C)
+        idb = jnp.sum(jnp.where(onehot, ids, 0), axis=-1, keepdims=True).astype(jnp.int32)
+        better = tmin < bt_ref[0]  # (TR, 1)
+        bt_ref[0] = jnp.where(better, tmin, bt_ref[0])
+        btri_ref[0] = jnp.where(better, idb, btri_ref[0])
+        bu_ref[0] = jnp.where(better, ub, bu_ref[0])
+        bv_ref[0] = jnp.where(better, vb, bv_ref[0])
+
+
+def trace_tiles_pallas(o_t, d_t, accel: ClusterAccel, cand, counts,
+                       work_cap: int, t_min=T_MIN, interpret: bool = False):
+    """Pallas closest-hit over the flattened work list."""
+    n_tiles, tr, _ = o_t.shape
+    c = accel.cluster_size
+    o4, d4 = _homog(o_t, d_t)
+    tile_of, cluster_of, valid, overflow = build_worklist(cand, counts, work_cap)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(work_cap,),
+        in_specs=[
+            pl.BlockSpec((1, tr, 4), lambda i, t, cl, va: (t[i], 0, 0)),
+            pl.BlockSpec((1, tr, 4), lambda i, t, cl, va: (t[i], 0, 0)),
+            pl.BlockSpec((1, 4, 3 * c), lambda i, t, cl, va: (cl[i], 0, 0)),
+            pl.BlockSpec((1, 1, c), lambda i, t, cl, va: (cl[i], 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tr, 1), lambda i, t, cl, va: (t[i], 0, 0)),
+            pl.BlockSpec((1, tr, 1), lambda i, t, cl, va: (t[i], 0, 0)),
+            pl.BlockSpec((1, tr, 1), lambda i, t, cl, va: (t[i], 0, 0)),
+            pl.BlockSpec((1, tr, 1), lambda i, t, cl, va: (t[i], 0, 0)),
+        ],
+    )
+    bt, btri, bu, bv = pl.pallas_call(
+        functools.partial(_closest_kernel, c, t_min),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, tr, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, tr, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, tr, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, tr, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(tile_of, cluster_of, valid, o4, d4, accel.tri_w,
+      accel.tri_ids.reshape(-1, 1, c))
+    return (bt[..., 0], btri[..., 0], bu[..., 0], bv[..., 0], overflow)
+
+
+def _anyhit_kernel(c, t_min, tile_of, cluster_of, valid,
+                   o4_ref, d4_ref, tmax_ref, w_ref, occ_ref):
+    i = pl.program_id(0)
+    prev = tile_of[jnp.maximum(i - 1, 0)]
+    first = jnp.logical_or(i == 0, tile_of[i] != prev)
+
+    @pl.when(first)
+    def _():
+        occ_ref[:] = jnp.zeros(occ_ref.shape, jnp.int32)
+
+    @pl.when(valid[i] == 1)
+    def _():
+        o4 = o4_ref[0]
+        d4 = d4_ref[0]
+        w = w_ref[0]
+        so, sd = _affine_products(o4, d4, w)
+        _, _, _, hit = _field_epilogue(so, sd, c, t_min, tmax_ref[0])  # tmax (TR, 1)
+        any_hit = jnp.max(hit.astype(jnp.int32), axis=-1, keepdims=True)
+        occ_ref[0] = occ_ref[0] | any_hit
+
+
+def any_hit_tiles_pallas(o_t, d_t, t_max_t, accel: ClusterAccel, cand, counts,
+                         work_cap: int, t_min=T_MIN, interpret: bool = False):
+    n_tiles, tr, _ = o_t.shape
+    c = accel.cluster_size
+    o4, d4 = _homog(o_t, d_t)
+    tile_of, cluster_of, valid, overflow = build_worklist(cand, counts, work_cap)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(work_cap,),
+        in_specs=[
+            pl.BlockSpec((1, tr, 4), lambda i, t, cl, va: (t[i], 0, 0)),
+            pl.BlockSpec((1, tr, 4), lambda i, t, cl, va: (t[i], 0, 0)),
+            pl.BlockSpec((1, tr, 1), lambda i, t, cl, va: (t[i], 0, 0)),
+            pl.BlockSpec((1, 4, 3 * c), lambda i, t, cl, va: (cl[i], 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tr, 1), lambda i, t, cl, va: (t[i], 0, 0)),
+        ],
+    )
+    (occ,) = pl.pallas_call(
+        functools.partial(_anyhit_kernel, c, t_min),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n_tiles, tr, 1), jnp.int32)],
+        interpret=interpret,
+    )(tile_of, cluster_of, valid, o4, d4, t_max_t[..., None], accel.tri_w)
+    return occ[..., 0] != 0, overflow
+
+
+# ---------------------------------------------------------------------------
+# High-level tracers
+# ---------------------------------------------------------------------------
+
+def make_accel_tracers(scene, accel: ClusterAccel, use_pallas: bool = False,
+                       k_cap: int | None = None, work_items_per_tile: int = 32,
+                       tr: int = DEFAULT_TILE, interpret: bool = False):
+    """Build (trace_fn, occlude_fn) over the cluster acceleration structure.
+
+    k_cap caps the per-tile candidate list (None = all clusters: exact).
+    work_items_per_tile sizes the Pallas work list (average, not per-tile
+    max; overflow triggers a visible jax.debug warning, never a crash).
+    """
+    n_cl = accel.num_clusters
+    k = n_cl if k_cap is None else min(k_cap, n_cl)
+
+    def _warn_overflow(flag, what):
+        jax.lax.cond(
+            flag,
+            lambda: jax.debug.print(
+                "WARNING: tracer {} work-list overflow — image may be incomplete; "
+                "raise work_items_per_tile/k_cap", what),
+            lambda: None,
+        )
+
+    def trace_fn(ray: Ray) -> Hit:
+        o_t, d_t, tiling = tile_rays(ray.o, ray.d, tr)
+        cand, counts, cap_over = cull_clusters(accel, o_t, d_t, T_FAR, k)
+        if use_pallas:
+            work_cap = o_t.shape[0] * work_items_per_tile
+            bt, btri, bu, bv, wl_over = trace_tiles_pallas(
+                o_t, d_t, accel, cand, counts, work_cap, interpret=interpret)
+            _warn_overflow(wl_over, "closest-hit")
+        else:
+            bt, btri, bu, bv = trace_tiles_jnp(o_t, d_t, accel, cand, counts)
+        if k < n_cl:
+            _warn_overflow(cap_over, "candidate-cap")
+        uv = jnp.stack([bu, bv], axis=-1)
+        return Hit(t=untile(bt, tiling), tri=untile(btri, tiling), uv=untile(uv, tiling))
+
+    def occlude_fn(ray: Ray, t_max) -> jax.Array:
+        o_t, d_t, tiling = tile_rays(ray.o, ray.d, tr)
+        if jnp.ndim(t_max) == 0:
+            t_max_t = jnp.full(o_t.shape[:2], t_max, jnp.float32)
+        else:
+            tm3 = jnp.broadcast_to(t_max[..., None], t_max.shape + (3,))
+            t_max_t, _, _ = tile_rays(tm3, tm3, tr)
+            t_max_t = t_max_t[..., 0]
+        cand, counts, cap_over = cull_clusters(accel, o_t, d_t, t_max_t, k)
+        if use_pallas:
+            work_cap = o_t.shape[0] * work_items_per_tile
+            occ, wl_over = any_hit_tiles_pallas(
+                o_t, d_t, t_max_t, accel, cand, counts, work_cap, interpret=interpret)
+            _warn_overflow(wl_over, "any-hit")
+        else:
+            occ = any_hit_tiles_jnp(o_t, d_t, t_max_t, accel, cand, counts)
+        if k < n_cl:
+            _warn_overflow(cap_over, "candidate-cap")
+        return untile(occ, tiling)
+
+    return trace_fn, occlude_fn

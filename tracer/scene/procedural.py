@@ -105,24 +105,28 @@ def _icosphere(subdiv: int) -> tuple[np.ndarray, np.ndarray]:
         np.int64,
     )
     for _ in range(subdiv):
-        edge_mid: dict[tuple[int, int], int] = {}
-        verts = list(v)
-
-        def midpoint(a, b):
-            key = (min(a, b), max(a, b))
-            if key not in edge_mid:
-                m = verts[a] + verts[b]
-                m /= np.linalg.norm(m)
-                edge_mid[key] = len(verts)
-                verts.append(m)
-            return edge_mid[key]
-
-        new_f = []
-        for a, b, c in f:
-            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
-            new_f += [[a, ab, ca], [b, bc, ab], [c, ca, bc], [ab, bc, ca]]
-        v = np.array(verts)
-        f = np.array(new_f, np.int64)
+        # Vectorized midpoint subdivision: unique edges via np.unique.
+        e = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]], axis=0)
+        e = np.sort(e, axis=1)
+        uniq, inv = np.unique(e, axis=0, return_inverse=True)
+        mids = v[uniq[:, 0]] + v[uniq[:, 1]]
+        mids /= np.linalg.norm(mids, axis=1, keepdims=True)
+        mid_idx = len(v) + inv  # (3F,) midpoint vertex ids per edge slot
+        n_faces = len(f)
+        ab = mid_idx[0 * n_faces : 1 * n_faces]
+        bc = mid_idx[1 * n_faces : 2 * n_faces]
+        ca = mid_idx[2 * n_faces : 3 * n_faces]
+        a, b, c = f[:, 0], f[:, 1], f[:, 2]
+        f = np.concatenate(
+            [
+                np.stack([a, ab, ca], 1),
+                np.stack([b, bc, ab], 1),
+                np.stack([c, ca, bc], 1),
+                np.stack([ab, bc, ca], 1),
+            ],
+            axis=0,
+        )
+        v = np.concatenate([v, mids], axis=0)
     return v.astype(np.float32), f.astype(np.int32)
 
 
