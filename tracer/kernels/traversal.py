@@ -26,6 +26,7 @@ Two implementations of step 3 with identical numerics:
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -204,6 +205,21 @@ def any_hit_tiles_jnp(o_t, d_t, t_max_t, accel: ClusterAccel, cand, counts, t_mi
 # Work-list construction (shared by the Pallas kernels)
 # ---------------------------------------------------------------------------
 
+# The packed work list lives in SMEM (scalar prefetch), which is ~1MB on
+# current TPUs. One s32 word per work item encodes everything the kernel and
+# its index maps need:
+#   bit 0      valid     (item inside its tile's candidate count)
+#   bit 1      first     (first item of its tile -> initialize accumulators)
+#   bits 2-18  cluster   (17 bits -> up to 131072 clusters = 16.7M tris)
+#   bits 19-30 tile      (12 bits -> up to 4096 tiles per kernel launch)
+# Images larger than MAX_CHUNK_TILES tiles are traced as a sequence of
+# kernel launches (lax.map over tile chunks), keeping SMEM bounded at any
+# resolution.
+MAX_CHUNK_TILES = 4096
+MAX_CLUSTERS = 1 << 17
+MAX_WORK_PER_CALL = 128 * 1024  # 512KB of SMEM for the packed list
+
+
 def build_worklist(cand, counts, work_cap: int):
     """Flatten per-tile candidate lists into a tile-ordered work list.
 
@@ -226,18 +242,43 @@ def build_worklist(cand, counts, work_cap: int):
     return tile_of, cluster_of, valid, overflow
 
 
+def pack_worklist(tile_of, cluster_of, valid):
+    """(W,) int32 triples -> single packed s32 word per item (layout above)."""
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), tile_of[:-1]])
+    first = (tile_of != prev).astype(jnp.int32)
+    return (tile_of << 19) | (cluster_of << 2) | (first << 1) | valid
+
+
+def _chunk_plan(n_tiles: int, work_cap: int):
+    """Split n_tiles into chunks whose packed work lists fit SMEM.
+
+    Returns (chunk_tiles, n_chunks, items_per_tile)."""
+    items_per_tile = min(max(1, -(-work_cap // max(n_tiles, 1))), MAX_WORK_PER_CALL)
+    ch = min(n_tiles, MAX_CHUNK_TILES, max(1, MAX_WORK_PER_CALL // items_per_tile))
+    n_chunks = -(-n_tiles // ch)
+    return ch, n_chunks, items_per_tile
+
+
+def _pad_tiles(x, n_pad_tiles):
+    pad = n_pad_tiles - x.shape[0]
+    if pad <= 0:
+        return x
+    return jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+
+
 # ---------------------------------------------------------------------------
 # Pallas kernels
 # ---------------------------------------------------------------------------
 
-def _closest_kernel(c, t_min, tile_of, cluster_of, valid,
+def _closest_kernel(c, t_min, packed,
                     o4_ref, d4_ref, w_ref, ids_ref,
                     bt_ref, btri_ref, bu_ref, bv_ref):
     # Column layout throughout: best-state refs are (1, TR, 1) so lane-axis
     # reductions over C land directly in the output layout (no relayout).
     i = pl.program_id(0)
-    prev = tile_of[jnp.maximum(i - 1, 0)]
-    first = jnp.logical_or(i == 0, tile_of[i] != prev)
+    word = packed[i]
+    first = ((word >> 1) & 1) == 1
+    valid = (word & 1) == 1
 
     @pl.when(first)
     def _():
@@ -246,7 +287,7 @@ def _closest_kernel(c, t_min, tile_of, cluster_of, valid,
         bu_ref[:] = jnp.zeros(bu_ref.shape, jnp.float32)
         bv_ref[:] = jnp.zeros(bv_ref.shape, jnp.float32)
 
-    @pl.when(valid[i] == 1)
+    @pl.when(valid)
     def _():
         o4 = o4_ref[0]  # (TR, 4)
         d4 = d4_ref[0]
@@ -269,28 +310,31 @@ def _closest_kernel(c, t_min, tile_of, cluster_of, valid,
         bv_ref[0] = jnp.where(better, vb, bv_ref[0])
 
 
-def trace_tiles_pallas(o_t, d_t, accel: ClusterAccel, cand, counts,
-                       work_cap: int, t_min=T_MIN, interpret: bool = False):
-    """Pallas closest-hit over the flattened work list."""
-    n_tiles, tr, _ = o_t.shape
-    c = accel.cluster_size
-    o4, d4 = _homog(o_t, d_t)
+_TILE_IX = lambda i, p: (p[i] >> 19, 0, 0)
+_CLUSTER_IX = lambda i, p: ((p[i] >> 2) & (MAX_CLUSTERS - 1), 0, 0)
+
+
+def _trace_chunk_pallas(o4, d4, tri_w, ids3, cand, counts, work_cap, t_min, interpret):
+    """One kernel launch over <= MAX_CHUNK_TILES tiles."""
+    n_tiles, tr, _ = o4.shape
+    c = ids3.shape[-1]
     tile_of, cluster_of, valid, overflow = build_worklist(cand, counts, work_cap)
+    packed = pack_worklist(tile_of, cluster_of, valid)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=1,
         grid=(work_cap,),
         in_specs=[
-            pl.BlockSpec((1, tr, 4), lambda i, t, cl, va: (t[i], 0, 0)),
-            pl.BlockSpec((1, tr, 4), lambda i, t, cl, va: (t[i], 0, 0)),
-            pl.BlockSpec((1, 4, 3 * c), lambda i, t, cl, va: (cl[i], 0, 0)),
-            pl.BlockSpec((1, 1, c), lambda i, t, cl, va: (cl[i], 0, 0)),
+            pl.BlockSpec((1, tr, 4), _TILE_IX),
+            pl.BlockSpec((1, tr, 4), _TILE_IX),
+            pl.BlockSpec((1, 4, 3 * c), _CLUSTER_IX),
+            pl.BlockSpec((1, 1, c), _CLUSTER_IX),
         ],
         out_specs=[
-            pl.BlockSpec((1, tr, 1), lambda i, t, cl, va: (t[i], 0, 0)),
-            pl.BlockSpec((1, tr, 1), lambda i, t, cl, va: (t[i], 0, 0)),
-            pl.BlockSpec((1, tr, 1), lambda i, t, cl, va: (t[i], 0, 0)),
-            pl.BlockSpec((1, tr, 1), lambda i, t, cl, va: (t[i], 0, 0)),
+            pl.BlockSpec((1, tr, 1), _TILE_IX),
+            pl.BlockSpec((1, tr, 1), _TILE_IX),
+            pl.BlockSpec((1, tr, 1), _TILE_IX),
+            pl.BlockSpec((1, tr, 1), _TILE_IX),
         ],
     )
     bt, btri, bu, bv = pl.pallas_call(
@@ -303,22 +347,57 @@ def trace_tiles_pallas(o_t, d_t, accel: ClusterAccel, cand, counts,
             jax.ShapeDtypeStruct((n_tiles, tr, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(tile_of, cluster_of, valid, o4, d4, accel.tri_w,
-      accel.tri_ids.reshape(-1, 1, c))
-    return (bt[..., 0], btri[..., 0], bu[..., 0], bv[..., 0], overflow)
+    )(packed, o4, d4, tri_w, ids3)
+    return bt, btri, bu, bv, overflow
 
 
-def _anyhit_kernel(c, t_min, tile_of, cluster_of, valid,
+def trace_tiles_pallas(o_t, d_t, accel: ClusterAccel, cand, counts,
+                       work_cap: int, t_min=T_MIN, interpret: bool = False):
+    """Pallas closest-hit over the flattened work list (chunked over tiles
+    so the packed SMEM work list stays within budget at any image size)."""
+    n_tiles, tr, _ = o_t.shape
+    c = accel.cluster_size
+    if accel.num_clusters > MAX_CLUSTERS:
+        raise ValueError(f"{accel.num_clusters} clusters exceeds packed-worklist "
+                         f"capacity {MAX_CLUSTERS}; raise cluster_size")
+    o4, d4 = _homog(o_t, d_t)
+    ids3 = accel.tri_ids.reshape(-1, 1, c)
+    ch, n_chunks, items = _chunk_plan(n_tiles, work_cap)
+
+    if n_chunks == 1:
+        bt, btri, bu, bv, overflow = _trace_chunk_pallas(
+            o4, d4, accel.tri_w, ids3, cand, counts, ch * items, t_min, interpret)
+        return bt[..., 0], btri[..., 0], bu[..., 0], bv[..., 0], overflow
+
+    n_pad = ch * n_chunks
+    o4c = _pad_tiles(o4, n_pad).reshape(n_chunks, ch, tr, 4)
+    d4c = _pad_tiles(d4, n_pad).reshape(n_chunks, ch, tr, 4)
+    candc = _pad_tiles(cand, n_pad).reshape(n_chunks, ch, -1)
+    countsc = _pad_tiles(counts, n_pad).reshape(n_chunks, ch)
+
+    def one(args):
+        o4i, d4i, candi, countsi = args
+        return _trace_chunk_pallas(
+            o4i, d4i, accel.tri_w, ids3, candi, countsi, ch * items, t_min, interpret)
+
+    bt, btri, bu, bv, over = jax.lax.map(one, (o4c, d4c, candc, countsc))
+    out = lambda x: x.reshape(n_pad, tr)[:n_tiles]
+    return (out(bt[..., 0]), out(btri[..., 0]), out(bu[..., 0]), out(bv[..., 0]),
+            jnp.any(over))
+
+
+def _anyhit_kernel(c, t_min, packed,
                    o4_ref, d4_ref, tmax_ref, w_ref, occ_ref):
     i = pl.program_id(0)
-    prev = tile_of[jnp.maximum(i - 1, 0)]
-    first = jnp.logical_or(i == 0, tile_of[i] != prev)
+    word = packed[i]
+    first = ((word >> 1) & 1) == 1
+    valid = (word & 1) == 1
 
     @pl.when(first)
     def _():
         occ_ref[:] = jnp.zeros(occ_ref.shape, jnp.int32)
 
-    @pl.when(valid[i] == 1)
+    @pl.when(valid)
     def _():
         o4 = o4_ref[0]
         d4 = d4_ref[0]
@@ -329,24 +408,23 @@ def _anyhit_kernel(c, t_min, tile_of, cluster_of, valid,
         occ_ref[0] = occ_ref[0] | any_hit
 
 
-def any_hit_tiles_pallas(o_t, d_t, t_max_t, accel: ClusterAccel, cand, counts,
-                         work_cap: int, t_min=T_MIN, interpret: bool = False):
-    n_tiles, tr, _ = o_t.shape
-    c = accel.cluster_size
-    o4, d4 = _homog(o_t, d_t)
+def _anyhit_chunk_pallas(o4, d4, tmax3, tri_w, cand, counts, work_cap, t_min, interpret):
+    n_tiles, tr, _ = o4.shape
+    c = tri_w.shape[-1] // 3
     tile_of, cluster_of, valid, overflow = build_worklist(cand, counts, work_cap)
+    packed = pack_worklist(tile_of, cluster_of, valid)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=1,
         grid=(work_cap,),
         in_specs=[
-            pl.BlockSpec((1, tr, 4), lambda i, t, cl, va: (t[i], 0, 0)),
-            pl.BlockSpec((1, tr, 4), lambda i, t, cl, va: (t[i], 0, 0)),
-            pl.BlockSpec((1, tr, 1), lambda i, t, cl, va: (t[i], 0, 0)),
-            pl.BlockSpec((1, 4, 3 * c), lambda i, t, cl, va: (cl[i], 0, 0)),
+            pl.BlockSpec((1, tr, 4), _TILE_IX),
+            pl.BlockSpec((1, tr, 4), _TILE_IX),
+            pl.BlockSpec((1, tr, 1), _TILE_IX),
+            pl.BlockSpec((1, 4, 3 * c), _CLUSTER_IX),
         ],
         out_specs=[
-            pl.BlockSpec((1, tr, 1), lambda i, t, cl, va: (t[i], 0, 0)),
+            pl.BlockSpec((1, tr, 1), _TILE_IX),
         ],
     )
     (occ,) = pl.pallas_call(
@@ -354,8 +432,39 @@ def any_hit_tiles_pallas(o_t, d_t, t_max_t, accel: ClusterAccel, cand, counts,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((n_tiles, tr, 1), jnp.int32)],
         interpret=interpret,
-    )(tile_of, cluster_of, valid, o4, d4, t_max_t[..., None], accel.tri_w)
-    return occ[..., 0] != 0, overflow
+    )(packed, o4, d4, tmax3, tri_w)
+    return occ, overflow
+
+
+def any_hit_tiles_pallas(o_t, d_t, t_max_t, accel: ClusterAccel, cand, counts,
+                         work_cap: int, t_min=T_MIN, interpret: bool = False):
+    n_tiles, tr, _ = o_t.shape
+    if accel.num_clusters > MAX_CLUSTERS:
+        raise ValueError(f"{accel.num_clusters} clusters exceeds packed-worklist "
+                         f"capacity {MAX_CLUSTERS}; raise cluster_size")
+    o4, d4 = _homog(o_t, d_t)
+    tmax3 = t_max_t[..., None]
+    ch, n_chunks, items = _chunk_plan(n_tiles, work_cap)
+
+    if n_chunks == 1:
+        occ, overflow = _anyhit_chunk_pallas(
+            o4, d4, tmax3, accel.tri_w, cand, counts, ch * items, t_min, interpret)
+        return occ[..., 0] != 0, overflow
+
+    n_pad = ch * n_chunks
+    o4c = _pad_tiles(o4, n_pad).reshape(n_chunks, ch, tr, 4)
+    d4c = _pad_tiles(d4, n_pad).reshape(n_chunks, ch, tr, 4)
+    tmaxc = _pad_tiles(tmax3, n_pad).reshape(n_chunks, ch, tr, 1)
+    candc = _pad_tiles(cand, n_pad).reshape(n_chunks, ch, -1)
+    countsc = _pad_tiles(counts, n_pad).reshape(n_chunks, ch)
+
+    def one(args):
+        o4i, d4i, tmi, candi, countsi = args
+        return _anyhit_chunk_pallas(
+            o4i, d4i, tmi, accel.tri_w, candi, countsi, ch * items, t_min, interpret)
+
+    occ, over = jax.lax.map(one, (o4c, d4c, tmaxc, candc, countsc))
+    return occ[..., 0].reshape(n_pad, tr)[:n_tiles] != 0, jnp.any(over)
 
 
 # ---------------------------------------------------------------------------
@@ -374,7 +483,15 @@ def make_accel_tracers(scene, accel: ClusterAccel, use_pallas: bool = False,
     n_cl = accel.num_clusters
     k = n_cl if k_cap is None else min(k_cap, n_cl)
 
+    # jax.debug.print is a host callback; some PJRT transports (e.g. the
+    # remote-TPU tunnel, JAX_PLATFORMS=axon) don't support host send/recv,
+    # so the overflow warning degrades to a no-op there. Overflow still
+    # never corrupts results beyond truncating the candidate list.
+    _callbacks_ok = "axon" not in os.environ.get("JAX_PLATFORMS", "")
+
     def _warn_overflow(flag, what):
+        if not _callbacks_ok:
+            return
         jax.lax.cond(
             flag,
             lambda: jax.debug.print(
