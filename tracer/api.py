@@ -54,16 +54,26 @@ def get_scene(cfg: RenderConfig) -> tuple[Scene, Camera]:
     return scene, Camera.make(**cam)
 
 
+# Clusters whose packed intersection matrices still fit VMEM alongside the
+# kernel's working set (v2 keeps the whole scene resident on-chip).
+_VMEM_RESIDENT_CLUSTERS = 2048
+
+
 def build_tracers(scene: Scene, cfg: RenderConfig):
     """Pick the tracing backend: brute force, jnp BVH, or Pallas BVH."""
     if cfg.use_bvh:
         from tracer.bvh import build_scene_accel
         from tracer.kernels import make_accel_tracers
+        from tracer.kernels.traversal2 import make_sorted_tracers
 
         # Pallas (Mosaic) kernels only exist on TPU; everywhere else the
         # jnp cluster path is the same algorithm compiled by XLA.
         use_pallas = cfg.use_pallas and jax.default_backend() == "tpu"
         accel = build_scene_accel(scene)
+        if use_pallas and accel.num_clusters <= _VMEM_RESIDENT_CLUSTERS:
+            # v2: per-tile front-to-back scan with early termination,
+            # geometry VMEM-resident (kernels.traversal2).
+            return make_sorted_tracers(scene, accel)
         return make_accel_tracers(scene, accel, use_pallas=use_pallas)
     return make_brute_tracers(scene)
 
@@ -72,14 +82,32 @@ def _whitted_cfg(cfg: RenderConfig) -> WhittedConfig:
     return WhittedConfig(max_bounces=cfg.max_bounces, smooth_shading=cfg.smooth_shading)
 
 
+def _use_tiled_path(scene: Scene, cfg: RenderConfig) -> bool:
+    n_clusters = -(-scene.num_tris // 128)
+    return (cfg.use_bvh and cfg.use_pallas and jax.default_backend() == "tpu"
+            and n_clusters <= _VMEM_RESIDENT_CLUSTERS)
+
+
 def make_render_fn(scene: Scene, cfg: RenderConfig):
     """Build the jitted (scene, camera) -> image function for this config.
 
     The scene geometry is a traced argument (differentiable); tracer choice
     and image size are static.
     """
-    trace_fn_builder = partial(build_tracers, cfg=cfg)
     wcfg = _whitted_cfg(cfg)
+
+    if _use_tiled_path(scene, cfg):
+        from tracer.bvh import build_scene_accel
+        from tracer.render.tiled import render_tiled
+
+        @jax.jit
+        def run_tiled(scene: Scene, camera: Camera) -> jax.Array:
+            accel = build_scene_accel(scene)
+            return render_tiled(scene, accel, camera, cfg.height, cfg.width, wcfg)
+
+        return run_tiled
+
+    trace_fn_builder = partial(build_tracers, cfg=cfg)
 
     @jax.jit
     def run(scene: Scene, camera: Camera) -> jax.Array:

@@ -38,6 +38,17 @@ CLUSTER_SIZE = 128
 SUPER_FACTOR = 16
 
 
+# Packed per-slot shading row layout (SHADE_COLS columns, fp32):
+#   0:3  v0    3:6  e1     6:9  e2      (edges: MT uv/t recompute, flat normal)
+#   9:12 n0   12:15 n1    15:18 n2      (vertex shading normals)
+#  18:21 albedo   21:24 emission   24 mirror   25 valid(1/0)   26:32 pad
+# Rows are in SORTED slot order (cluster*C + slot) so the traversal kernel's
+# gid indexes the table directly with ONE wide gather — replacing the ~10
+# narrow gathers (tris->verts->normals->materials) of the naive shading path,
+# which dominated the frame at 1080p.
+SHADE_COLS = 32
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class ClusterAccel:
@@ -49,6 +60,7 @@ class ClusterAccel:
     cluster_hi:  (Ncl, 3)
     super_lo:    (Nsc, 3) supercluster AABB minima (groups of SUPER_FACTOR)
     super_hi:    (Nsc, 3)
+    shade:       (Ncl*C, SHADE_COLS) packed shading rows (layout above)
     """
 
     tri_w: jax.Array
@@ -57,6 +69,7 @@ class ClusterAccel:
     cluster_hi: jax.Array
     super_lo: jax.Array
     super_hi: jax.Array
+    shade: jax.Array
 
     @property
     def num_clusters(self) -> int:
@@ -76,11 +89,14 @@ def _pad_to(x: jax.Array, n: int, fill) -> jax.Array:
     )
 
 
-def build_clusters(verts: jax.Array, tris: jax.Array, cluster_size: int = CLUSTER_SIZE) -> ClusterAccel:
+def build_clusters(verts: jax.Array, tris: jax.Array, cluster_size: int = CLUSTER_SIZE,
+                   scene=None) -> ClusterAccel:
     """On-device cluster build: morton sort -> pad -> pack (jittable).
 
-    Gradients w.r.t. verts flow through tri_w (via triangle_affine_maps);
-    the ordering and AABBs are discrete and stop-gradiented.
+    Gradients w.r.t. verts flow through tri_w (via triangle_affine_maps) and
+    through the packed shade table; the ordering and AABBs are discrete and
+    stop-gradiented. `scene` (optional) supplies normals/materials for the
+    shade rows; without it the rows carry geometry only.
     """
     C = cluster_size
     T = tris.shape[0]
@@ -120,6 +136,30 @@ def build_clusters(verts: jax.Array, tris: jax.Array, cluster_size: int = CLUSTE
     n_sc = -(-n_cl // SUPER_FACTOR)
     sc_lo = _pad_to(cluster_lo, n_sc * SUPER_FACTOR, jnp.inf).reshape(n_sc, SUPER_FACTOR, 3)
     sc_hi = _pad_to(cluster_hi, n_sc * SUPER_FACTOR, -jnp.inf).reshape(n_sc, SUPER_FACTOR, 3)
+
+    # Packed shade rows, sorted-slot order (see SHADE_COLS layout above).
+    vm = jnp.where(slot_valid[:, None], 1.0, 0.0)
+    tri_p = tris[order_p]  # (n_pad, 3)
+    pv0 = verts[tri_p[:, 0]] * vm
+    pe1 = (verts[tri_p[:, 1]] - verts[tri_p[:, 0]]) * vm
+    pe2 = (verts[tri_p[:, 2]] - verts[tri_p[:, 0]]) * vm
+    cols = [pv0, pe1, pe2]
+    if scene is not None:
+        n0 = scene.normals[tri_p[:, 0]] * vm
+        n1 = scene.normals[tri_p[:, 1]] * vm
+        n2 = scene.normals[tri_p[:, 2]] * vm
+        mat = scene.mat_id[order_p]
+        albedo = scene.materials.albedo[mat] * vm
+        emission = scene.materials.emission[mat] * vm
+        mirror = (scene.materials.mirror[mat])[:, None] * vm[:, 0:1]
+        cols += [n0, n1, n2, albedo, emission, mirror]
+    else:
+        cols += [jnp.zeros((n_pad, 16), verts.dtype)]
+    cols.append(vm[:, 0:1])  # valid flag (col 25)
+    shade = jnp.concatenate(cols, axis=1)
+    shade = jnp.concatenate(
+        [shade, jnp.zeros((n_pad, SHADE_COLS - shade.shape[1]), verts.dtype)], axis=1)
+
     return ClusterAccel(
         tri_w=tri_w,
         tri_ids=tri_ids,
@@ -127,8 +167,9 @@ def build_clusters(verts: jax.Array, tris: jax.Array, cluster_size: int = CLUSTE
         cluster_hi=cluster_hi,
         super_lo=jnp.min(sc_lo, axis=1),
         super_hi=jnp.max(sc_hi, axis=1),
+        shade=shade,
     )
 
 
 def build_scene_accel(scene, cluster_size: int = CLUSTER_SIZE) -> ClusterAccel:
-    return build_clusters(scene.verts, scene.tris, cluster_size)
+    return build_clusters(scene.verts, scene.tris, cluster_size, scene=scene)

@@ -78,6 +78,69 @@ def tile_bounds(o: jax.Array, d: jax.Array):
     return o_lo, o_hi, d_lo, d_hi
 
 
+def frustum_aabb_entry(o_lo, o_hi, d_lo, d_hi, box_lo, box_hi, t_max):
+    """Like frustum_aabb_feasible but also returns the conservative entry
+    distance t_lo (a lower bound on the t at which ANY ray in the tile's
+    interval hull can first touch the AABB). Used for front-to-back candidate
+    ordering + early termination (kernels.traversal2)."""
+    t_lo = jnp.zeros(jnp.broadcast_shapes(o_lo[..., 0].shape, box_lo[..., 0].shape))
+    t_hi = jnp.broadcast_to(t_max, t_lo.shape)
+    ok = jnp.ones(t_lo.shape, bool)
+    for k in range(3):
+        lo1, hi1, ok1 = _upper_lower(o_lo[..., k], d_lo[..., k], box_hi[..., k], ge=False)
+        lo2, hi2, ok2 = _upper_lower(o_hi[..., k], d_hi[..., k], box_lo[..., k], ge=True)
+        t_lo = jnp.maximum(t_lo, jnp.maximum(lo1, lo2))
+        t_hi = jnp.minimum(t_hi, jnp.minimum(hi1, hi2))
+        ok = ok & ok1 & ok2
+    return ok & (t_lo <= t_hi), t_lo
+
+
+# Packed candidate words for the sorted-cull path: top 15 bits = quantized
+# entry distance (IEEE-754 bits of the positive float, truncated — monotone
+# and a conservative floor), low 17 bits = cluster id. Sorting the words
+# ascending per tile therefore yields exact front-to-back candidate order
+# with the early-out key embedded. 0x7FFFFFFF = invalid sentinel.
+CLUSTER_BITS = 17
+WORD_INVALID = jnp.int32(0x7FFFFFFF)
+
+
+def pack_candidates(t_lo: jax.Array, cluster: jax.Array, valid: jax.Array) -> jax.Array:
+    tb = jax.lax.bitcast_convert_type(
+        jnp.maximum(t_lo, 0.0).astype(jnp.float32), jnp.int32)
+    q = jax.lax.shift_left(jax.lax.shift_right_logical(tb, CLUSTER_BITS), CLUSTER_BITS)
+    return jnp.where(valid, q | cluster, WORD_INVALID)
+
+
+def cull_clusters_sorted(accel, o: jax.Array, d: jax.Array, t_max, k_cap: int):
+    """Front-to-back sorted cull: tiles vs cluster AABBs.
+
+    Returns (words (Ntiles, k_cap) int32 packed (t_lo_q | cluster) sorted
+    ascending, counts (Ntiles,) int32 clipped to k_cap, overflow () bool).
+    """
+    n_cl = accel.num_clusters
+    o_lo, o_hi, d_lo, d_hi = tile_bounds(o, d)
+    if isinstance(t_max, jax.Array) and t_max.ndim > 0:
+        t_max_tile = jnp.max(t_max, axis=1)[:, None]
+    else:
+        t_max_tile = jnp.asarray(t_max)[None, None] if jnp.ndim(t_max) == 0 else t_max
+
+    ok, t_lo = frustum_aabb_entry(
+        o_lo[:, None], o_hi[:, None], d_lo[:, None], d_hi[:, None],
+        accel.cluster_lo[None], accel.cluster_hi[None], t_max_tile,
+    )  # (Ntiles, Ncl)
+    cluster_ids = jnp.arange(n_cl, dtype=jnp.int32)[None, :]
+    words = pack_candidates(t_lo, cluster_ids, ok)
+    words = jnp.sort(words, axis=1)
+    counts = jnp.sum(ok, axis=1).astype(jnp.int32)
+    k = min(k_cap, n_cl)
+    overflow = jnp.any(counts > k)
+    words = words[:, :k]
+    if k < k_cap:
+        pad = jnp.full((words.shape[0], k_cap - k), WORD_INVALID, jnp.int32)
+        words = jnp.concatenate([words, pad], axis=1)
+    return words, jnp.minimum(counts, k_cap), overflow
+
+
 def cull_clusters(accel, o: jax.Array, d: jax.Array, t_max, k_cap: int):
     """Hierarchical cull: tiles vs superclusters, then vs clusters.
 

@@ -1,0 +1,303 @@
+"""Second-generation traversal kernels: per-tile front-to-back candidate
+scan with early termination.
+
+Reference parity: this is the TPU-native replacement for the reference's
+divergent per-ray stack traversal (SURVEY.md R3) — the role the OpenCL
+`while(stack)` loop plays on a GPU is played here by a per-tile sorted
+candidate list with a data-dependent `while_loop` that stops as soon as no
+remaining cluster can beat every ray's current best hit.
+
+Design (vs kernels.traversal v1, which this supersedes on the hot path):
+  * grid = image tiles (not flattened work items): no padding steps, no
+    work-list construction pass;
+  * candidates arrive pre-sorted front-to-back (bvh.cull.cull_clusters_sorted
+    packs quantized-entry-t | cluster-id into one int32 and sorts — the sort
+    IS the traversal order);
+  * early termination: the kernel carries a per-tile bound = max over rays of
+    the current best t; once the next candidate's conservative entry t
+    exceeds it, no remaining candidate (sorted!) can improve any ray;
+  * cluster matrices live whole in VMEM ((Ncl*4, 3C) fp32 — ~5 MB at 100k
+    tris), so the inner loop is pure VPU work with a dynamic sublane slice,
+    no per-item DMA;
+  * the kernel tracks only (best-t, best-global-slot) per ray; barycentrics
+    and the original triangle id are recovered OUTSIDE the kernel with one
+    gather + a single-triangle Moller-Trumbore per ray (cheap, exact).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tracer.bvh.cluster import ClusterAccel
+from tracer.bvh.cull import cull_clusters_sorted, CLUSTER_BITS
+from tracer.core.types import Ray, Hit, T_FAR
+from tracer.core.intersect import moller_trumbore
+from tracer.kernels.traversal import tile_rays, untile, _homog, T_MIN
+
+import numpy as _np
+
+DEFAULT_K = 256
+# SMEM budget for the packed candidate words (plus slack for counts).
+MAX_WORDS_PER_CALL = 128 * 1024
+_CL_MASK = (1 << CLUSTER_BITS) - 1
+_T_FAR_BITS = int(_np.float32(T_FAR).view(_np.int32))  # python int: safe to close over
+
+
+def _products(o4, d4, w):
+    """(TR, 4) x (4, 3C) via broadcast FMA on the VPU (fp32-exact)."""
+    so = (o4[:, 0:1] * w[0:1, :] + o4[:, 1:2] * w[1:2, :]
+          + o4[:, 2:3] * w[2:3, :] + o4[:, 3:4] * w[3:4, :])
+    sd = (d4[:, 0:1] * w[0:1, :] + d4[:, 1:2] * w[1:2, :]
+          + d4[:, 2:3] * w[2:3, :] + d4[:, 3:4] * w[3:4, :])
+    return so, sd
+
+
+def _cluster_t(o4, d4, w, c, t_min, t_max_col):
+    """Intersect one tile against one cluster -> tv (TR, C): t or T_FAR."""
+    so, sd = _products(o4, d4, w)
+    den = sd[:, 0:c]
+    t = -so[:, 0:c] / jnp.where(den == 0.0, 1.0, den)
+    u = so[:, c:2 * c] + t * sd[:, c:2 * c]
+    v = so[:, 2 * c:3 * c] + t * sd[:, 2 * c:3 * c]
+    ok = ((jnp.minimum(jnp.minimum(u, v), 1.0 - u - v) >= 0.0)
+          & (t > t_min) & (t < t_max_col) & (jnp.abs(den) > 1e-12))
+    return jnp.where(ok, t, T_FAR)
+
+
+def _closest_kernel(k_cap, c, t_min, words, counts,
+                    o4_ref, d4_ref, w_ref, bt_ref, bid_ref):
+    i = pl.program_id(0)
+    tr = o4_ref.shape[1]
+    bt_ref[:] = jnp.full(bt_ref.shape, T_FAR, jnp.float32)
+    bid_ref[:] = jnp.full(bid_ref.shape, -1, jnp.int32)
+    o4 = o4_ref[0]
+    d4 = d4_ref[0]
+    n = counts[i]
+    base = i * k_cap
+    slots = jax.lax.broadcasted_iota(jnp.int32, (tr, c), 1)
+
+    # The early-out bound is carried as IEEE-754 *bits* of the per-tile
+    # max best-t: Mosaic has no scalar bitcast, and for positive floats the
+    # int32 bit pattern is order-isomorphic, so the comparison against the
+    # word's quantized-t high bits is a plain integer compare. Skipping when
+    # floor(t_lo_bits) >= bound_bits is conservative (floor <= true bits).
+    def cond(carry):
+        k, bound_bits = carry
+        word = words[base + jnp.minimum(k, k_cap - 1)]
+        return (k < n) & ((word & ~_CL_MASK) < bound_bits)
+
+    def body(carry):
+        k, bound_bits = carry
+        word = words[base + k]
+        cl = word & _CL_MASK
+        w = w_ref[cl]  # (8, 3C); rows 0:4 = affine map, 4:8 = zero pad
+        tv = _cluster_t(o4, d4, w, c, t_min, T_FAR)
+        tmin = jnp.min(tv, axis=-1, keepdims=True)  # (TR, 1)
+        slot = jnp.min(jnp.where(tv == tmin, slots, c), axis=-1, keepdims=True)
+        better = tmin < bt_ref[0]
+        bt_ref[0] = jnp.where(better, tmin, bt_ref[0])
+        bid_ref[0] = jnp.where(better, cl * c + slot, bid_ref[0])
+        bt_bits = jax.lax.bitcast_convert_type(bt_ref[0], jnp.int32)  # (TR, 1)
+        return k + 1, jnp.max(bt_bits)
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(_T_FAR_BITS)))
+
+
+def _anyhit_kernel(k_cap, c, t_min, words, counts,
+                   o4_ref, d4_ref, tmax_ref, w_ref, occ_ref):
+    i = pl.program_id(0)
+    occ_ref[:] = jnp.zeros(occ_ref.shape, jnp.int32)
+    o4 = o4_ref[0]
+    d4 = d4_ref[0]
+    tmax_col = tmax_ref[0]  # (TR, 1)
+    n = counts[i]
+    base = i * k_cap
+
+    def cond(carry):
+        k = carry
+        # Stop when every ray is occluded (min == 1) or candidates exhausted.
+        return (k < n) & (jnp.min(occ_ref[0]) == 0)
+
+    def body(carry):
+        k = carry
+        word = words[base + k]
+        cl = word & _CL_MASK
+        w = w_ref[cl]
+        tv = _cluster_t(o4, d4, w, c, t_min, tmax_col)
+        hit_any = jnp.min(tv, axis=-1, keepdims=True) < T_FAR
+        occ_ref[0] = occ_ref[0] | hit_any.astype(jnp.int32)
+        return k + 1
+
+    jax.lax.while_loop(cond, body, jnp.int32(0))
+
+
+def _pad_w(tri_w):
+    """(Ncl, 4, 3C) -> (Ncl, 8, 3C): Mosaic tiles the minor two dims in
+    (8, 128) blocks, so each cluster's matrix is padded to a full sublane
+    tile; dynamic indexing on dim 0 then needs no alignment proof."""
+    n_cl, rows, w3c = tri_w.shape
+    return jnp.concatenate(
+        [tri_w, jnp.zeros((n_cl, 8 - rows, w3c), tri_w.dtype)], axis=1)
+
+
+def _chunk(n_tiles: int, k_cap: int):
+    ch = min(n_tiles, max(1, MAX_WORDS_PER_CALL // k_cap))
+    return ch, -(-n_tiles // ch)
+
+
+def _pad_tiles(x, n):
+    pad = n - x.shape[0]
+    if pad <= 0:
+        return x
+    return jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+
+
+def trace_tiles_sorted(o_t, d_t, accel: ClusterAccel, words, counts,
+                       t_min=T_MIN, interpret: bool = False):
+    """Closest-hit: (bt, gid) each (Ntiles, TR); gid = sorted-order global
+    triangle slot (cluster*C + slot), -1 on miss."""
+    n_tiles, tr, _ = o_t.shape
+    c = accel.cluster_size
+    k_cap = words.shape[1]
+    o4, d4 = _homog(o_t, d_t)
+    w_all = _pad_w(accel.tri_w)
+    ch, n_chunks = _chunk(n_tiles, k_cap)
+
+    def call(o4c, d4c, wordsc, countsc):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(o4c.shape[0],),
+            in_specs=[
+                pl.BlockSpec((1, tr, 4), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((1, tr, 4), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, tr, 1), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((1, tr, 1), lambda i, *_: (i, 0, 0)),
+            ],
+        )
+        return pl.pallas_call(
+            functools.partial(_closest_kernel, k_cap, c, t_min),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((o4c.shape[0], tr, 1), jnp.float32),
+                jax.ShapeDtypeStruct((o4c.shape[0], tr, 1), jnp.int32),
+            ],
+            interpret=interpret,
+        )(wordsc.reshape(-1), countsc, o4c, d4c, w_all)
+
+    if n_chunks == 1:
+        bt, bid = call(o4, d4, words, counts)
+        return bt[..., 0], bid[..., 0]
+
+    n_pad = ch * n_chunks
+    o4c = _pad_tiles(o4, n_pad).reshape(n_chunks, ch, tr, 4)
+    d4c = _pad_tiles(d4, n_pad).reshape(n_chunks, ch, tr, 4)
+    wordsc = _pad_tiles(words, n_pad).reshape(n_chunks, ch, k_cap)
+    countsc = _pad_tiles(counts, n_pad).reshape(n_chunks, ch)
+    bt, bid = jax.lax.map(lambda a: call(*a), (o4c, d4c, wordsc, countsc))
+    out = lambda x: x.reshape(n_pad, tr)[:n_tiles]
+    return out(bt[..., 0]), out(bid[..., 0])
+
+
+def any_hit_tiles_sorted(o_t, d_t, t_max_t, accel: ClusterAccel, words, counts,
+                         t_min=T_MIN, interpret: bool = False):
+    """Occlusion: (Ntiles, TR) bool."""
+    n_tiles, tr, _ = o_t.shape
+    c = accel.cluster_size
+    k_cap = words.shape[1]
+    o4, d4 = _homog(o_t, d_t)
+    tmax3 = t_max_t[..., None]
+    w_all = _pad_w(accel.tri_w)
+    ch, n_chunks = _chunk(n_tiles, k_cap)
+
+    def call(o4c, d4c, tmc, wordsc, countsc):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(o4c.shape[0],),
+            in_specs=[
+                pl.BlockSpec((1, tr, 4), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((1, tr, 4), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((1, tr, 1), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=[pl.BlockSpec((1, tr, 1), lambda i, *_: (i, 0, 0))],
+        )
+        (occ,) = pl.pallas_call(
+            functools.partial(_anyhit_kernel, k_cap, c, t_min),
+            grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((o4c.shape[0], tr, 1), jnp.int32)],
+            interpret=interpret,
+        )(wordsc.reshape(-1), countsc, o4c, d4c, tmc, w_all)
+        return occ
+
+    if n_chunks == 1:
+        return call(o4, d4, tmax3, words, counts)[..., 0] != 0
+
+    n_pad = ch * n_chunks
+    o4c = _pad_tiles(o4, n_pad).reshape(n_chunks, ch, tr, 4)
+    d4c = _pad_tiles(d4, n_pad).reshape(n_chunks, ch, tr, 4)
+    tmc = _pad_tiles(tmax3, n_pad).reshape(n_chunks, ch, tr, 1)
+    wordsc = _pad_tiles(words, n_pad).reshape(n_chunks, ch, k_cap)
+    countsc = _pad_tiles(counts, n_pad).reshape(n_chunks, ch)
+    occ = jax.lax.map(lambda a: call(*a), (o4c, d4c, tmc, wordsc, countsc))
+    return occ[..., 0].reshape(n_pad, tr)[:n_tiles] != 0
+
+
+def recover_hit(scene, ray: Ray, bt, gid, accel: ClusterAccel, t_min=T_MIN) -> Hit:
+    """Map kernel output (best-t, sorted global slot) back to a full Hit:
+    original triangle id + exact (t, u, v) via one single-triangle
+    Moller-Trumbore per ray (the kernel's t is only used for selection)."""
+    valid = gid >= 0
+    gid_safe = jnp.maximum(gid, 0)
+    tri = jnp.where(valid, accel.tri_ids.reshape(-1)[gid_safe], -1)
+    tri_safe = jnp.maximum(tri, 0)
+    idx = scene.tris[tri_safe]
+    v0 = scene.verts[idx[..., 0]]
+    v1 = scene.verts[idx[..., 1]]
+    v2 = scene.verts[idx[..., 2]]
+    t, u, v, hitm = moller_trumbore(ray.o, ray.d, v0, v1, v2, t_min=t_min)
+    valid = valid & hitm
+    uv = jnp.stack([u, v], axis=-1)
+    return Hit(
+        t=jnp.where(valid, t, T_FAR),
+        tri=jnp.where(valid, tri, -1),
+        uv=jnp.where(valid[..., None], uv, 0.0),
+    )
+
+
+def make_sorted_tracers(scene, accel: ClusterAccel, k_cap: int = DEFAULT_K,
+                        tr: int = 256, interpret: bool = False,
+                        t_min=T_MIN):
+    """(trace_fn, occlude_fn) over the sorted front-to-back kernel path."""
+    k = min(k_cap, accel.num_clusters)
+    # Round up so lane-dim slicing stays aligned; sentinel-padded.
+    k = max(8, -(-k // 8) * 8)
+
+    def trace_fn(ray: Ray) -> Hit:
+        o_t, d_t, tiling = tile_rays(ray.o, ray.d, tr)
+        words, counts, _overflow = cull_clusters_sorted(accel, o_t, d_t, T_FAR, k)
+        bt, gid = trace_tiles_sorted(o_t, d_t, accel, words, counts,
+                                     t_min=t_min, interpret=interpret)
+        return recover_hit(scene, ray, untile(bt, tiling), untile(gid, tiling),
+                           accel, t_min=t_min)
+
+    def occlude_fn(ray: Ray, t_max) -> jax.Array:
+        o_t, d_t, tiling = tile_rays(ray.o, ray.d, tr)
+        if jnp.ndim(t_max) == 0:
+            t_max_t = jnp.full(o_t.shape[:2], t_max, jnp.float32)
+        else:
+            tm3 = jnp.broadcast_to(t_max[..., None], t_max.shape + (3,))
+            t_max_t, _, _ = tile_rays(tm3, tm3, tr)
+            t_max_t = t_max_t[..., 0]
+        words, counts, _overflow = cull_clusters_sorted(accel, o_t, d_t, t_max_t, k)
+        occ = any_hit_tiles_sorted(o_t, d_t, t_max_t, accel, words, counts,
+                                   t_min=t_min, interpret=interpret)
+        return untile(occ, tiling)
+
+    return trace_fn, occlude_fn

@@ -1,0 +1,169 @@
+"""Tile-resident Whitted integrator — the v2 fast path.
+
+Reference parity: same light transport as render.whitted (the OpenCL
+reference's shade + shadow + mirror-bounce kernel, SURVEY.md R4), but the
+whole pipeline stays in the kernel's tiled (Ntiles, TR) layout from primary
+rays to the final image, and all per-hit data comes from ONE wide gather of
+the packed shade table (bvh.cluster.SHADE_COLS layout) indexed by the
+traversal kernel's sorted-slot id:
+
+  * no (H, W) <-> tile transposes between passes (one untile at the end);
+  * no chained narrow gathers (tris -> verts -> normals -> materials);
+  * the Pallas kernel is used for SELECTION only (which triangle, conservative
+    t); hit attributes (t, u, v, normal, position) are recomputed outside the
+    kernel from the gathered rows. The recompute is differentiable w.r.t.
+    vertices / normals / materials / camera, so `jax.grad` flows through this
+    integrator without a custom VJP on the kernel — the kernel sees only
+    stop-gradiented inputs (discrete selection is piecewise constant; edge
+    terms are handled by tracer.diff's reparameterization).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from tracer.bvh.cluster import ClusterAccel
+from tracer.bvh.cull import cull_clusters_sorted
+from tracer.core.camera import Camera, generate_rays
+from tracer.core.types import Ray, Hit, T_FAR, RAY_EPS, normalize
+from tracer.kernels.traversal import tile_rays, untile
+from tracer.kernels.traversal2 import (
+    trace_tiles_sorted, any_hit_tiles_sorted, DEFAULT_K, T_MIN)
+from tracer.render.whitted import WhittedConfig
+
+
+def mt_from_edges(o, d, v0, e1, e2, t_min=T_MIN, eps=1e-12):
+    """Moller-Trumbore given (v0, e1, e2) rows — the differentiable hit
+    recompute for the shade-table path. Returns (t, u, v, hit)."""
+    pvec = jnp.cross(d, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    inv = jnp.where(jnp.abs(det) > eps, 1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+    tvec = o - v0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(d * qvec, axis=-1) * inv
+    t = jnp.sum(e2 * qvec, axis=-1) * inv
+    hit = ((jnp.abs(det) > eps) & (u >= 0.0) & (v >= 0.0)
+           & (u + v <= 1.0) & (t > t_min))
+    return t, u, v, hit
+
+
+def _trace_rows(accel: ClusterAccel, o_t, d_t, k_cap, interpret):
+    """Kernel selection pass -> (gid, rows). All kernel inputs are
+    stop-gradiented; gradients flow through the row recompute instead."""
+    sg = jax.lax.stop_gradient
+    accel_sg = sg(accel)
+    words, counts, _ = cull_clusters_sorted(accel_sg, sg(o_t), sg(d_t),
+                                            T_FAR, k_cap)
+    _bt, gid = trace_tiles_sorted(sg(o_t), sg(d_t), accel_sg, words, counts,
+                                  interpret=interpret)
+    rows = accel.shade[jnp.maximum(gid, 0)]  # (Nt, TR, SHADE_COLS)
+    return gid, rows
+
+
+def _occluded(accel: ClusterAccel, o_t, d_t, t_max_t, k_cap, interpret):
+    sg = jax.lax.stop_gradient
+    accel_sg = sg(accel)
+    o_t, d_t, t_max_t = sg(o_t), sg(d_t), sg(t_max_t)
+    words, counts, _ = cull_clusters_sorted(accel_sg, o_t, d_t, t_max_t, k_cap)
+    return any_hit_tiles_sorted(o_t, d_t, t_max_t, accel_sg, words, counts,
+                                interpret=interpret)
+
+
+def _segment_occluded(accel: ClusterAccel, light_pos, p_t, eps_t, k_cap,
+                      interpret):
+    """Occlusion of the segment light<->p, traced FROM THE LIGHT.
+
+    Shadow rays share the light as a common origin, so the per-tile frustum
+    is a tight cone (like primary rays from the camera) instead of the fat
+    interval hull a surface-origin wavefront produces — the cull stays as
+    sharp as the primary pass (measured: mean candidates 75 -> ~20 on the
+    100k-tri bench scene, and no k_cap overflow). The segment is
+    parameterized o = light, d = p - light, t in (t_min, 1 - eps_rel): the
+    direction is intentionally unnormalized so t_max == 1 uniformly.
+    `eps_t` is the absolute surface offset (RAY_EPS-scale) to exclude the
+    receiving surface itself at t ~ 1."""
+    sg = jax.lax.stop_gradient
+    accel_sg = sg(accel)
+    o_t = jnp.broadcast_to(light_pos, p_t.shape)
+    d_t = sg(p_t) - light_pos
+    seg_len = jnp.sqrt(jnp.maximum(jnp.sum(d_t * d_t, axis=-1), 1e-20))
+    t_max_t = 1.0 - eps_t / seg_len
+    words, counts, _ = cull_clusters_sorted(accel_sg, o_t, d_t, t_max_t, k_cap)
+    return any_hit_tiles_sorted(o_t, d_t, t_max_t, accel_sg, words, counts,
+                                interpret=interpret)
+
+
+def render_tiled(scene, accel: ClusterAccel, camera: Camera,
+                 height: int, width: int, cfg: WhittedConfig,
+                 k_cap: int = DEFAULT_K, tr: int = 256,
+                 interpret: bool = False) -> jax.Array:
+    """Full-image Whitted render on the v2 kernel path -> (H, W, 3)."""
+    k = min(k_cap, accel.num_clusters)
+    k = max(8, -(-k // 8) * 8)
+    rays = generate_rays(camera, height, width)
+    o_t, d_t, tiling = tile_rays(rays.o, rays.d, tr)  # one fold transpose
+
+    sky = jnp.asarray(cfg.sky_color, jnp.float32)
+    shape = o_t.shape[:2]
+    radiance = jnp.zeros(shape + (3,), jnp.float32)
+    throughput = jnp.ones(shape + (3,), jnp.float32)
+    live = jnp.ones(shape, bool)
+
+    for bounce in range(cfg.max_bounces):
+        gid, rows = _trace_rows(accel, o_t, d_t, k, interpret)
+        v0 = rows[..., 0:3]
+        e1 = rows[..., 3:6]
+        e2 = rows[..., 6:9]
+        t, u, v, hitm = mt_from_edges(o_t, d_t, v0, e1, e2)
+        found = (gid >= 0) & hitm & (rows[..., 25] > 0.5)
+        valid = found & live
+
+        p = o_t + t[..., None] * d_t
+        if cfg.smooth_shading:
+            uu = u[..., None]
+            vv = v[..., None]
+            n = normalize(rows[..., 9:12] * (1.0 - uu - vv)
+                          + rows[..., 12:15] * uu + rows[..., 15:18] * vv)
+        else:
+            n = normalize(jnp.cross(e1, e2))
+        n = jnp.where(jnp.sum(n * d_t, axis=-1, keepdims=True) > 0, -n, n)
+        albedo = rows[..., 18:21]
+        emission = rows[..., 21:24]
+        mirror = rows[..., 24:25]
+
+        # Direct lighting with shadow rays (tiled layout throughout).
+        direct = jnp.zeros_like(p)
+        for li in range(scene.lights.count):
+            lpos = scene.lights.position[li]
+            lint = scene.lights.intensity[li]
+            to_l = lpos - p
+            dist2 = jnp.sum(to_l * to_l, axis=-1)
+            dist = jnp.sqrt(jnp.maximum(dist2, 1e-20))
+            wi = to_l / dist[..., None]
+            cos = jnp.maximum(jnp.sum(n * wi, axis=-1), 0.0)
+            # Invalid rays target the light itself: a zero-length segment
+            # (d == 0) is ignored by the cull's tile bounds and never hits,
+            # so misses don't fatten the shadow frusta.
+            target = jnp.where(valid[..., None], p + n * RAY_EPS, lpos)
+            occ = _segment_occluded(accel, lpos, target,
+                                    jnp.float32(RAY_EPS), k, interpret)
+            vis = jnp.where(occ | ~valid, 0.0, 1.0)
+            irr = (cos * vis / jnp.maximum(dist2, 1e-20))[..., None] * lint
+            direct = direct + albedo / jnp.pi * irr
+
+        local = emission + albedo * cfg.ambient + direct
+        miss_contrib = jnp.where((live & ~found)[..., None], sky, 0.0)
+        surf_contrib = jnp.where(valid[..., None], local * (1.0 - mirror), 0.0)
+        radiance = radiance + throughput * (surf_contrib + miss_contrib)
+
+        if bounce + 1 < cfg.max_bounces:
+            refl_d = d_t - 2.0 * jnp.sum(d_t * n, axis=-1, keepdims=True) * n
+            o_t = p + n * RAY_EPS
+            d_t = normalize(refl_d)
+            throughput = throughput * mirror
+            live = valid & (mirror[..., 0] > 0.0)
+
+    return untile(radiance, tiling)
