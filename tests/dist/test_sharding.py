@@ -1,0 +1,94 @@
+"""Distributed tests on a virtual 8-device CPU mesh (SURVEY.md §4):
+sharded render == single-device render, ring-sharded geometry == replicated
+geometry, sharded grads == local grads.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tracer.api import get_scene
+from tracer.dist.mesh import make_render_mesh, DATA_AXIS, GEOM_AXIS
+from tracer.dist.ray_dp import make_sharded_render_fn, make_sharded_grad_fn
+from tracer.dist.ring import make_ring_render_fn
+from tracer.render.whitted import WhittedConfig, render_image
+from tracer.utils.config import load_config
+
+
+CFG = load_config("cornell256", height=64, width=64, max_bounces=2)
+
+
+@pytest.fixture(scope="module")
+def scene_cam():
+    return get_scene(CFG)
+
+
+@pytest.fixture(scope="module")
+def reference_image(scene_cam):
+    scene, cam = scene_cam
+    wcfg = WhittedConfig(max_bounces=CFG.max_bounces,
+                         smooth_shading=CFG.smooth_shading)
+    return np.asarray(render_image(scene, cam, CFG.height, CFG.width, wcfg))
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8, "conftest must fake 8 CPU devices"
+
+
+def test_tile_dp_matches_single_device(scene_cam, reference_image):
+    scene, cam = scene_cam
+    mesh = make_render_mesh(jax.devices(), data=8, geom=1)
+    run = make_sharded_render_fn(scene, CFG, mesh)
+    img = np.asarray(run(scene, cam))
+    # The sharded program is a different XLA compilation: fp32 rounding can
+    # flip nearest-hit ties on a handful of boundary pixels (amplified by
+    # the mirror bounce); everywhere else the images must agree.
+    mismatch = np.mean(~np.isclose(img, reference_image, rtol=1e-4, atol=1e-4))
+    assert mismatch < 1e-2, f"{mismatch:.3%} pixels differ"
+
+
+@pytest.mark.parametrize("use_ring", [True, False],
+                         ids=["ring-ppermute", "pmin-reduce"])
+@pytest.mark.parametrize("data,geom", [(4, 2), (2, 4), (1, 8)])
+def test_geometry_sharding_matches_replicated(scene_cam, reference_image,
+                                              data, geom, use_ring):
+    scene, cam = scene_cam
+    mesh = make_render_mesh(jax.devices(), data=data, geom=geom)
+    run = make_ring_render_fn(scene, CFG, mesh, use_ring=use_ring)
+    img = np.asarray(run(scene, cam))
+    # Different intersection order across shards -> fp32 tie/rounding noise
+    # at a few boundary pixels; the field must match everywhere else.
+    mismatch = np.mean(~np.isclose(img, reference_image, rtol=1e-4, atol=1e-4))
+    assert mismatch < 1e-2, f"{mismatch:.3%} pixels differ"
+
+
+def test_sharded_grad_matches_local(scene_cam):
+    scene, cam = scene_cam
+    mesh = make_render_mesh(jax.devices(), data=8, geom=1)
+    target = jnp.zeros((CFG.height, CFG.width, 3), jnp.float32)
+    step = make_sharded_grad_fn(scene, CFG, mesh)
+    loss_sh, grads_sh = step(scene, cam, target)
+
+    import dataclasses as dc
+
+    from tracer.core.camera import generate_rays
+    from tracer.render.whitted import render_wavefront, make_brute_tracers
+
+    wcfg = WhittedConfig(max_bounces=CFG.max_bounces,
+                         smooth_shading=CFG.smooth_shading)
+
+    def loss_fn(verts):
+        s = dc.replace(scene, verts=verts)
+        rays = generate_rays(cam, CFG.height, CFG.width)
+        img = render_wavefront(s, rays, wcfg, *make_brute_tracers(s))
+        return jnp.mean((img - target) ** 2)
+
+    loss_l, grads_l = jax.value_and_grad(loss_fn)(scene.verts)
+    np.testing.assert_allclose(float(loss_sh), float(loss_l), rtol=1e-4)
+    # Element-wise comparison is too brittle across two compilations (a
+    # handful of boundary-pixel flips perturb single vertex grads); compare
+    # the gradient fields globally instead.
+    gs = np.asarray(grads_sh).ravel()
+    gl = np.asarray(grads_l).ravel()
+    rel_l2 = np.linalg.norm(gs - gl) / max(np.linalg.norm(gl), 1e-12)
+    assert rel_l2 < 5e-2, f"sharded grad field differs by {rel_l2:.2%} (L2)"

@@ -1,0 +1,22 @@
+"""Differentiable-rendering layer (SURVEY.md T6, L4).
+
+`edge` — edge-aware visibility gradients: straight-through smoothed-indicator
+reparameterization of shadow occlusion and primary coverage (exact forward
+images, silhouette-aware backward). `fit` — checkpointed inverse-rendering
+optimization loops (orbax).
+"""
+from tracer.diff.edge import (
+    render_diff,
+    render_diff_image,
+    soft_any_hit,
+    soft_coverage,
+    edge_heights,
+)
+
+__all__ = [
+    "render_diff",
+    "render_diff_image",
+    "soft_any_hit",
+    "soft_coverage",
+    "edge_heights",
+]

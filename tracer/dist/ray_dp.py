@@ -99,3 +99,15 @@ def dryrun(devices) -> None:
     loss.block_until_ready()
     assert grads.shape == scene.verts.shape
     assert bool(jnp.isfinite(loss)), "non-finite loss in sharded grad step"
+
+    # Sharded-geometry tier (T11): ring (rays on data x geom, geometry
+    # rotating over geom) and pmin-reduce variants on a 2D mesh.
+    if n % 2 == 0 and n >= 4:
+        from tracer.dist.ring import make_ring_render_fn
+
+        mesh2 = make_render_mesh(devices, data=n // 2, geom=2)
+        for use_ring in (True, False):
+            ring_run = make_ring_render_fn(scene, cfg, mesh2, use_ring=use_ring)
+            img2 = ring_run(scene, camera)
+            img2.block_until_ready()
+            assert img2.shape == (cfg.height, cfg.width, 3)

@@ -1,5 +1,5 @@
 """Second-generation traversal kernels: per-tile front-to-back candidate
-scan with early termination.
+scan with early termination and per-ray AABB pruning.
 
 Reference parity: this is the TPU-native replacement for the reference's
 divergent per-ray stack traversal (SURVEY.md R3) — the role the OpenCL
@@ -16,7 +16,14 @@ Design (vs kernels.traversal v1, which this supersedes on the hot path):
   * early termination: the kernel carries a per-tile bound = max over rays of
     the current best t; once the next candidate's conservative entry t
     exceeds it, no remaining candidate (sorted!) can improve any ray;
-  * cluster matrices live whole in VMEM ((Ncl*4, 3C) fp32 — ~5 MB at 100k
+  * per-ray AABB prune (v3): before paying the dense (TR x C) intersection
+    for a candidate, a slab test of every ACTUAL ray against the cluster's
+    AABB runs in a transposed (rows x TR) layout — ~2% of the body cost —
+    and the body is skipped (`pl.when`) unless some ray truly enters the box
+    closer than its current best. The tile-frustum cull is interval
+    arithmetic over the ray hull, so this per-ray test prunes the fat-hull
+    false positives that dominate edge-on tiles;
+  * cluster matrices live whole in VMEM ((Ncl*8, 3C) fp32 — ~10 MB at 100k
     tris), so the inner loop is pure VPU work with a dynamic sublane slice,
     no per-item DMA;
   * the kernel tracks only (best-t, best-global-slot) per ray; barycentrics
@@ -45,6 +52,7 @@ DEFAULT_K = 256
 MAX_WORDS_PER_CALL = 128 * 1024
 _CL_MASK = (1 << CLUSTER_BITS) - 1
 _T_FAR_BITS = int(_np.float32(T_FAR).view(_np.int32))  # python int: safe to close over
+_BIG = float(T_FAR)  # python float: safe to close over in kernels
 
 
 def _products(o4, d4, w):
@@ -68,14 +76,51 @@ def _cluster_t(o4, d4, w, c, t_min, t_max_col):
     return jnp.where(ok, t, T_FAR)
 
 
-def _closest_kernel(k_cap, c, t_min, words, counts,
-                    o4_ref, d4_ref, w_ref, bt_ref, bid_ref):
+def _ray_rows(o_t: jax.Array, d_t: jax.Array) -> jax.Array:
+    """(Nt, TR, 3) rays -> (Nt, 8, TR) transposed slab-test rows:
+    rows 0..2 = origin xyz, 3..5 = 1/d (0 where |d| == 0), 6 = live flag
+    (1.0 where the ray is real, 0.0 for padding), 7 = zero pad.
+    Row layout keeps every per-candidate prune op on (1, TR) vectors."""
+    oT = jnp.swapaxes(o_t, 1, 2)  # (Nt, 3, TR)
+    dT = jnp.swapaxes(d_t, 1, 2)
+    inv = jnp.where(dT == 0.0, 0.0, 1.0 / jnp.where(dT == 0.0, 1.0, dT))
+    live = jnp.any(dT != 0.0, axis=1, keepdims=True).astype(o_t.dtype)
+    pad = jnp.zeros_like(live)
+    return jnp.concatenate([oT, inv, live, pad], axis=1)
+
+
+def _slab_enter(rt, lo0, lo1, lo2, hi0, hi1, hi2):
+    """Per-ray AABB slab test in row layout. rt: (8, TR) ray rows.
+    Returns entry distance (1, TR): max(t_enter, 0) where the ray's line
+    crosses the box, T_FAR where it cannot (or the ray is padding)."""
+    enter = jnp.zeros_like(rt[0:1])
+    exit_ = jnp.full_like(rt[0:1], T_FAR)
+    ok = rt[6:7] > 0.0  # live rays only
+    for k, (lo, hi) in enumerate(((lo0, hi0), (lo1, hi1), (lo2, hi2))):
+        o = rt[k:k + 1]
+        inv = rt[3 + k:4 + k]
+        deg = inv == 0.0
+        t1 = (lo - o) * inv
+        t2 = (hi - o) * inv
+        inside = (o >= lo) & (o <= hi)
+        tn = jnp.where(deg, jnp.where(inside, 0.0, _BIG), jnp.minimum(t1, t2))
+        tf = jnp.where(deg, jnp.where(inside, _BIG, -_BIG), jnp.maximum(t1, t2))
+        enter = jnp.maximum(enter, tn)
+        exit_ = jnp.minimum(exit_, tf)
+    ok = ok & (enter <= exit_) & (exit_ > 0.0)
+    return jnp.where(ok, enter, _BIG)
+
+
+def _closest_kernel(k_cap, c, t_min, words, counts, boxes,
+                    o4_ref, d4_ref, rt_ref, w_ref, bt_ref, bid_ref, btT_ref):
     i = pl.program_id(0)
     tr = o4_ref.shape[1]
     bt_ref[:] = jnp.full(bt_ref.shape, T_FAR, jnp.float32)
     bid_ref[:] = jnp.full(bid_ref.shape, -1, jnp.int32)
+    btT_ref[:] = jnp.full(btT_ref.shape, T_FAR, jnp.float32)
     o4 = o4_ref[0]
     d4 = d4_ref[0]
+    rt = rt_ref[0]  # (8, TR)
     n = counts[i]
     base = i * k_cap
     slots = jax.lax.broadcasted_iota(jnp.int32, (tr, c), 1)
@@ -94,42 +139,73 @@ def _closest_kernel(k_cap, c, t_min, words, counts,
         k, bound_bits = carry
         word = words[base + k]
         cl = word & _CL_MASK
-        w = w_ref[cl]  # (8, 3C); rows 0:4 = affine map, 4:8 = zero pad
-        tv = _cluster_t(o4, d4, w, c, t_min, T_FAR)
-        tmin = jnp.min(tv, axis=-1, keepdims=True)  # (TR, 1)
-        slot = jnp.min(jnp.where(tv == tmin, slots, c), axis=-1, keepdims=True)
-        better = tmin < bt_ref[0]
-        bt_ref[0] = jnp.where(better, tmin, bt_ref[0])
-        bid_ref[0] = jnp.where(better, cl * c + slot, bid_ref[0])
-        bt_bits = jax.lax.bitcast_convert_type(bt_ref[0], jnp.int32)  # (TR, 1)
+        # Per-ray prune: does ANY actual ray enter this cluster's AABB
+        # closer than its current best? (The sorted-word check above uses
+        # the tile-hull entry, which is far fatter.)
+        enter = _slab_enter(rt, boxes[cl, 0], boxes[cl, 1], boxes[cl, 2],
+                            boxes[cl, 3], boxes[cl, 4], boxes[cl, 5])
+        any_improve = jnp.any(enter < btT_ref[0])
+
+        @pl.when(any_improve)
+        def _():
+            w = w_ref[cl]  # (8, 3C); rows 0:4 = affine map, 4:8 = zero pad
+            tv = _cluster_t(o4, d4, w, c, t_min, T_FAR)
+            tmin = jnp.min(tv, axis=-1, keepdims=True)  # (TR, 1)
+            slot = jnp.min(jnp.where(tv == tmin, slots, c), axis=-1,
+                           keepdims=True)
+            better = tmin < bt_ref[0]
+            bt_ref[0] = jnp.where(better, tmin, bt_ref[0])
+            bid_ref[0] = jnp.where(better, cl * c + slot, bid_ref[0])
+            btT_ref[:] = bt_ref[0].reshape(1, tr)
+
+        bt_bits = jax.lax.bitcast_convert_type(btT_ref[0], jnp.int32)
         return k + 1, jnp.max(bt_bits)
 
     jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(_T_FAR_BITS)))
 
 
-def _anyhit_kernel(k_cap, c, t_min, words, counts,
-                   o4_ref, d4_ref, tmax_ref, w_ref, occ_ref):
+def _anyhit_kernel(k_cap, c, t_min, words, counts, boxes,
+                   o4_ref, d4_ref, tmax_ref, rt_ref, w_ref, occ_ref):
+    """Occlusion kernel; per-ray state lives in ROW layout throughout
+    (occ_ref block is (1, 1, TR)). rt row 7 carries per-ray t_max."""
     i = pl.program_id(0)
-    occ_ref[:] = jnp.zeros(occ_ref.shape, jnp.int32)
+    tr = o4_ref.shape[1]
+    occ_ref[:] = jnp.zeros(occ_ref.shape, jnp.float32)
     o4 = o4_ref[0]
     d4 = d4_ref[0]
     tmax_col = tmax_ref[0]  # (TR, 1)
+    rt = rt_ref[0]  # (8, TR)
+    tmax_row = rt[7:8]
     n = counts[i]
     base = i * k_cap
 
+    def bound_bits():
+        # Max t_max over still-unoccluded rays: the sorted words' entry t
+        # can't beat it once exceeded. Shrinks as rays get occluded.
+        tm = jnp.where(occ_ref[0] > 0.0, 0.0, tmax_row)
+        return jnp.max(jax.lax.bitcast_convert_type(tm, jnp.int32))
+
     def cond(carry):
         k = carry
-        # Stop when every ray is occluded (min == 1) or candidates exhausted.
-        return (k < n) & (jnp.min(occ_ref[0]) == 0)
+        word = words[base + jnp.minimum(k, k_cap - 1)]
+        return (k < n) & ((word & ~_CL_MASK) < bound_bits())
 
     def body(carry):
         k = carry
         word = words[base + k]
         cl = word & _CL_MASK
-        w = w_ref[cl]
-        tv = _cluster_t(o4, d4, w, c, t_min, tmax_col)
-        hit_any = jnp.min(tv, axis=-1, keepdims=True) < T_FAR
-        occ_ref[0] = occ_ref[0] | hit_any.astype(jnp.int32)
+        enter = _slab_enter(rt, boxes[cl, 0], boxes[cl, 1], boxes[cl, 2],
+                            boxes[cl, 3], boxes[cl, 4], boxes[cl, 5])
+        touch = (enter < tmax_row) & (occ_ref[0] == 0.0)
+
+        @pl.when(jnp.any(touch))
+        def _():
+            w = w_ref[cl]
+            tv = _cluster_t(o4, d4, w, c, t_min, tmax_col)
+            hit_any = jnp.min(tv, axis=-1, keepdims=True) < T_FAR  # (TR, 1)
+            occ_ref[:] = jnp.maximum(
+                occ_ref[:], hit_any.astype(jnp.float32).reshape(1, 1, tr))
+
         return k + 1
 
     jax.lax.while_loop(cond, body, jnp.int32(0))
@@ -142,6 +218,12 @@ def _pad_w(tri_w):
     n_cl, rows, w3c = tri_w.shape
     return jnp.concatenate(
         [tri_w, jnp.zeros((n_cl, 8 - rows, w3c), tri_w.dtype)], axis=1)
+
+
+def _boxes(accel: ClusterAccel) -> jax.Array:
+    """(Ncl, 8) SMEM scalar table: lo.xyz, hi.xyz, pad, pad."""
+    z = jnp.zeros((accel.num_clusters, 2), accel.cluster_lo.dtype)
+    return jnp.concatenate([accel.cluster_lo, accel.cluster_hi, z], axis=1)
 
 
 def _chunk(n_tiles: int, k_cap: int):
@@ -164,22 +246,26 @@ def trace_tiles_sorted(o_t, d_t, accel: ClusterAccel, words, counts,
     c = accel.cluster_size
     k_cap = words.shape[1]
     o4, d4 = _homog(o_t, d_t)
+    rt = _ray_rows(o_t, d_t)
     w_all = _pad_w(accel.tri_w)
+    boxes = _boxes(accel)
     ch, n_chunks = _chunk(n_tiles, k_cap)
 
-    def call(o4c, d4c, wordsc, countsc):
+    def call(o4c, d4c, rtc, wordsc, countsc):
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(o4c.shape[0],),
             in_specs=[
                 pl.BlockSpec((1, tr, 4), lambda i, *_: (i, 0, 0)),
                 pl.BlockSpec((1, tr, 4), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((1, 8, tr), lambda i, *_: (i, 0, 0)),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
             out_specs=[
                 pl.BlockSpec((1, tr, 1), lambda i, *_: (i, 0, 0)),
                 pl.BlockSpec((1, tr, 1), lambda i, *_: (i, 0, 0)),
             ],
+            scratch_shapes=[pltpu.VMEM((1, tr), jnp.float32)],
         )
         return pl.pallas_call(
             functools.partial(_closest_kernel, k_cap, c, t_min),
@@ -189,18 +275,19 @@ def trace_tiles_sorted(o_t, d_t, accel: ClusterAccel, words, counts,
                 jax.ShapeDtypeStruct((o4c.shape[0], tr, 1), jnp.int32),
             ],
             interpret=interpret,
-        )(wordsc.reshape(-1), countsc, o4c, d4c, w_all)
+        )(wordsc.reshape(-1), countsc, boxes, o4c, d4c, rtc, w_all)
 
     if n_chunks == 1:
-        bt, bid = call(o4, d4, words, counts)
+        bt, bid = call(o4, d4, rt, words, counts)
         return bt[..., 0], bid[..., 0]
 
     n_pad = ch * n_chunks
     o4c = _pad_tiles(o4, n_pad).reshape(n_chunks, ch, tr, 4)
     d4c = _pad_tiles(d4, n_pad).reshape(n_chunks, ch, tr, 4)
+    rtc = _pad_tiles(rt, n_pad).reshape(n_chunks, ch, 8, tr)
     wordsc = _pad_tiles(words, n_pad).reshape(n_chunks, ch, k_cap)
     countsc = _pad_tiles(counts, n_pad).reshape(n_chunks, ch)
-    bt, bid = jax.lax.map(lambda a: call(*a), (o4c, d4c, wordsc, countsc))
+    bt, bid = jax.lax.map(lambda a: call(*a), (o4c, d4c, rtc, wordsc, countsc))
     out = lambda x: x.reshape(n_pad, tr)[:n_tiles]
     return out(bt[..., 0]), out(bid[..., 0])
 
@@ -213,40 +300,46 @@ def any_hit_tiles_sorted(o_t, d_t, t_max_t, accel: ClusterAccel, words, counts,
     k_cap = words.shape[1]
     o4, d4 = _homog(o_t, d_t)
     tmax3 = t_max_t[..., None]
+    rt = _ray_rows(o_t, d_t)
+    # Row 7 carries per-ray t_max (clipped to 0 for padding rays).
+    rt = rt.at[:, 7, :].set(jnp.where(rt[:, 6, :] > 0, t_max_t, 0.0))
     w_all = _pad_w(accel.tri_w)
+    boxes = _boxes(accel)
     ch, n_chunks = _chunk(n_tiles, k_cap)
 
-    def call(o4c, d4c, tmc, wordsc, countsc):
+    def call(o4c, d4c, tmc, rtc, wordsc, countsc):
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(o4c.shape[0],),
             in_specs=[
                 pl.BlockSpec((1, tr, 4), lambda i, *_: (i, 0, 0)),
                 pl.BlockSpec((1, tr, 4), lambda i, *_: (i, 0, 0)),
                 pl.BlockSpec((1, tr, 1), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((1, 8, tr), lambda i, *_: (i, 0, 0)),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
-            out_specs=[pl.BlockSpec((1, tr, 1), lambda i, *_: (i, 0, 0))],
+            out_specs=[pl.BlockSpec((1, 1, tr), lambda i, *_: (i, 0, 0))],
         )
         (occ,) = pl.pallas_call(
             functools.partial(_anyhit_kernel, k_cap, c, t_min),
             grid_spec=grid_spec,
-            out_shape=[jax.ShapeDtypeStruct((o4c.shape[0], tr, 1), jnp.int32)],
+            out_shape=[jax.ShapeDtypeStruct((o4c.shape[0], 1, tr), jnp.float32)],
             interpret=interpret,
-        )(wordsc.reshape(-1), countsc, o4c, d4c, tmc, w_all)
+        )(wordsc.reshape(-1), countsc, boxes, o4c, d4c, tmc, rtc, w_all)
         return occ
 
     if n_chunks == 1:
-        return call(o4, d4, tmax3, words, counts)[..., 0] != 0
+        return call(o4, d4, tmax3, rt, words, counts)[:, 0, :] != 0
 
     n_pad = ch * n_chunks
     o4c = _pad_tiles(o4, n_pad).reshape(n_chunks, ch, tr, 4)
     d4c = _pad_tiles(d4, n_pad).reshape(n_chunks, ch, tr, 4)
     tmc = _pad_tiles(tmax3, n_pad).reshape(n_chunks, ch, tr, 1)
+    rtc = _pad_tiles(rt, n_pad).reshape(n_chunks, ch, 8, tr)
     wordsc = _pad_tiles(words, n_pad).reshape(n_chunks, ch, k_cap)
     countsc = _pad_tiles(counts, n_pad).reshape(n_chunks, ch)
-    occ = jax.lax.map(lambda a: call(*a), (o4c, d4c, tmc, wordsc, countsc))
-    return occ[..., 0].reshape(n_pad, tr)[:n_tiles] != 0
+    occ = jax.lax.map(lambda a: call(*a), (o4c, d4c, tmc, rtc, wordsc, countsc))
+    return occ[:, :, 0, :].reshape(n_pad, tr)[:n_tiles] != 0
 
 
 def recover_hit(scene, ray: Ray, bt, gid, accel: ClusterAccel, t_min=T_MIN) -> Hit:
@@ -272,7 +365,7 @@ def recover_hit(scene, ray: Ray, bt, gid, accel: ClusterAccel, t_min=T_MIN) -> H
 
 
 def make_sorted_tracers(scene, accel: ClusterAccel, k_cap: int = DEFAULT_K,
-                        tr: int = 256, interpret: bool = False,
+                        tr: int = 64, interpret: bool = False,
                         t_min=T_MIN):
     """(trace_fn, occlude_fn) over the sorted front-to-back kernel path."""
     k = min(k_cap, accel.num_clusters)
