@@ -2,35 +2,54 @@
 """Benchmark driver: prints ONE JSON line with the headline metric.
 
 Headline metric (BASELINE.md): rays/s/chip on a ~100k-tri BVH scene at 1080p.
-vs_baseline is measured against the 100M rays/s/chip target.
+vs_baseline is measured against the 100M rays/s/chip target. The detail dict
+carries the honest accounting breakdown (BASELINE.md grad-step row; VERDICT
+r2 items 2/8/9):
+  - rays/frame = H*W * bounces * (1 + lights): every traced wavefront
+    (closest-hit + one shadow pass per light) — primary_rays_per_s is the
+    stricter closest-hit-only number;
+  - overflow: cull candidates dropped by the k-caps (0 == exact geometry);
+  - grad_step_ms: one full optimization step on the bunny-grad preset.
 """
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Persistent XLA compile cache: first-compile of the 1080p pipeline over the
+# remote-chip tunnel is minutes; cached reruns are seconds.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 BASELINE_RAYS_PER_S = 100e6  # >=100M rays/s/chip target (BASELINE.json:5)
 
 
 def main() -> int:
-    # Headline config: ~100k-tri scene at 1080p, best available backend.
-    from tracer.api import benchmark
+    from tracer.api import benchmark, benchmark_grad_step
 
     preset = os.environ.get("BENCH_PRESET", "bench100k")
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     result = benchmark(preset, iters=iters)
+    detail = {
+        "ms_per_frame": round(result["ms_per_frame"], 3),
+        "num_tris": int(result["num_tris"]),
+        "preset": preset,
+        "primary_rays_per_s": round(result["primary_rays_per_s"], 1),
+        "overflow": result["overflow"],
+    }
+    if os.environ.get("BENCH_GRAD", "1") != "0":
+        try:
+            g = benchmark_grad_step("bunny-grad", iters=3)
+            detail["grad_step_ms"] = round(g["grad_step_ms"], 3)
+            detail["grad_preset"] = "bunny-grad"
+        except Exception as e:  # pragma: no cover - report, don't fail bench
+            detail["grad_step_error"] = str(e)[:200]
     out = {
         "metric": "rays_per_s_per_chip_100ktri_1080p",
         "value": round(result["rays_per_s"], 1),
         "unit": "rays/s",
         "vs_baseline": round(result["rays_per_s"] / BASELINE_RAYS_PER_S, 4),
-        "detail": {
-            "ms_per_frame": round(result["ms_per_frame"], 3),
-            "num_tris": int(result["num_tris"]),
-            "preset": preset,
-        },
+        "detail": detail,
     }
     print(json.dumps(out))
     return 0

@@ -1,0 +1,64 @@
+"""T12: bucketed, overlapped gradient all-reduce == unbucketed (SURVEY.md
+T12; BASELINE config 5 "overlapped gradient all-reduce"). Runs on the
+virtual 8-device CPU mesh from conftest."""
+import dataclasses as dc
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tracer.api import get_scene
+from tracer.core.camera import generate_rays
+from tracer.dist.grad_overlap import (
+    make_overlapped_grad_fn, make_unbucketed_grad_fn)
+from tracer.dist.mesh import make_render_mesh
+from tracer.render.whitted import (
+    WhittedConfig, render_wavefront, make_brute_tracers)
+from tracer.utils.config import load_config
+
+CFG = load_config("cornell256", height=64, width=64, max_bounces=1)
+
+
+def _target():
+    return jnp.zeros((CFG.height, CFG.width, 3), jnp.float32)
+
+
+def test_bucketed_matches_unbucketed():
+    scene, cam = get_scene(CFG)
+    mesh = make_render_mesh(jax.devices(), data=8, geom=1)
+    bucketed = make_overlapped_grad_fn(CFG, mesh, n_buckets=4)
+    single = make_unbucketed_grad_fn(CFG, mesh)
+    lb, gb = bucketed(scene, cam, _target())
+    ls, gs = single(scene, cam, _target())
+    np.testing.assert_allclose(float(lb), float(ls), rtol=1e-5)
+    gb = np.asarray(gb).ravel()
+    gs = np.asarray(gs).ravel()
+    # fp reassociation across bucket boundaries perturbs near-zero elements
+    # by 100% relative; compare the gradient field globally.
+    rel_l2 = np.linalg.norm(gb - gs) / max(np.linalg.norm(gs), 1e-12)
+    assert rel_l2 < 1e-5, f"bucketed vs unbucketed grads differ {rel_l2:.2e}"
+
+
+def test_bucketed_matches_local_autodiff():
+    scene, cam = get_scene(CFG)
+    mesh = make_render_mesh(jax.devices(), data=8, geom=1)
+    step = make_overlapped_grad_fn(CFG, mesh, n_buckets=2)
+    loss_sh, grads_sh = step(scene, cam, _target())
+
+    wcfg = WhittedConfig(max_bounces=CFG.max_bounces,
+                         smooth_shading=CFG.smooth_shading)
+
+    def loss_fn(verts):
+        s = dc.replace(scene, verts=verts)
+        rays = generate_rays(cam, CFG.height, CFG.width)
+        img = render_wavefront(s, rays, wcfg, *make_brute_tracers(s))
+        return jnp.mean((img - _target()) ** 2)
+
+    loss_l, grads_l = jax.value_and_grad(loss_fn)(scene.verts)
+    # mean over (H, W, 3) == sum/ (H*W*3): same normalization as the bucketed
+    # loss, so the values must agree directly.
+    np.testing.assert_allclose(float(loss_sh), float(loss_l), rtol=1e-4)
+    gs = np.asarray(grads_sh).ravel()
+    gl = np.asarray(grads_l).ravel()
+    rel_l2 = np.linalg.norm(gs - gl) / max(np.linalg.norm(gl), 1e-12)
+    assert rel_l2 < 5e-2, f"bucketed grad field differs by {rel_l2:.2%} (L2)"

@@ -1,0 +1,62 @@
+"""Large golden tests against the C++ oracle (SURVEY.md §4, T8; VERDICT r2
+item 3): bunny-with-shadows at 512x512 through the production cluster-accel
+path, and a columned-hall crop at 256x256 through the PALLAS kernels
+(interpret mode on CPU). Skipped gracefully if the C++ oracle can't build."""
+import numpy as np
+import pytest
+
+from tracer.api import get_scene, make_render_fn
+from tracer.refcpu import cpp as cpp_oracle
+from tracer.utils.config import load_config
+
+pytestmark = pytest.mark.skipif(
+    not cpp_oracle.available(), reason="C++ oracle unavailable (g++ build)")
+
+
+def _golden_check(img, ref, frac_tol=0.015, p98_tol=2e-3):
+    assert np.isfinite(img).all()
+    err = np.abs(img - ref).max(axis=-1)
+    # Edge/silhouette pixels legitimately flip between fp32 (TPU path) and
+    # fp64 (oracle); everywhere else agreement must be tight (BASELINE:
+    # "image allclose rtol 1e-3" up to discrete hit reassignment).
+    frac_bad = (err > 2e-3).mean()
+    assert frac_bad < frac_tol, (
+        f"{frac_bad:.2%} pixels off (max err {err.max():.4f})")
+    assert np.percentile(err, 98) < p98_tol, f"p98 err {np.percentile(err, 98):.2e}"
+
+
+def test_bunny512_with_shadows_matches_cpp_oracle():
+    cfg = load_config("bunny512")  # 512x512, ~82k tris, BVH path
+    scene, camera = get_scene(cfg)
+    run = make_render_fn(scene, cfg)  # cluster-accel tier (jnp on CPU)
+    img = np.asarray(run(scene, camera))
+    ref = cpp_oracle.cpp_render(scene, camera, cfg.height, cfg.width,
+                                max_bounces=cfg.max_bounces,
+                                smooth_shading=cfg.smooth_shading)
+    # The bunny must cast a visible shadow for this golden to mean anything.
+    assert img.max() > 0.05
+    _golden_check(img, ref)
+
+
+def test_hall256_pallas_interpret_matches_cpp_oracle():
+    """Whole tiled/Pallas pipeline (cull -> sorted closest -> light-origin
+    shadow kernels) in interpret mode vs the C++ oracle."""
+    from tracer.bvh import build_scene_accel
+    from tracer.render.tiled import render_tiled
+    from tracer.render.whitted import WhittedConfig
+    from tracer.core.camera import Camera
+    from tracer.scene.procedural import columned_hall
+
+    # cols 4x3 keeps the canonical camera in a clear aisle (3x2 would put
+    # it inside the center column).
+    scene, cam = columned_hall(cols_x=4, cols_z=3, blob_subdiv=3)
+    camera = Camera.make(**cam)
+    H = W = 256
+    wcfg = WhittedConfig(max_bounces=2, smooth_shading=True)
+    accel = build_scene_accel(scene)
+    img = np.asarray(render_tiled(scene, accel, camera, H, W, wcfg,
+                                  interpret=True))
+    ref = cpp_oracle.cpp_render(scene, camera, H, W, max_bounces=2,
+                                smooth_shading=True)
+    assert img.max() > 0.05
+    _golden_check(img, ref)

@@ -100,12 +100,26 @@ def make_render_fn(scene: Scene, cfg: RenderConfig):
         from tracer.bvh import build_scene_accel
         from tracer.render.tiled import render_tiled
 
-        @jax.jit
-        def run_tiled(scene: Scene, camera: Camera) -> jax.Array:
-            accel = build_scene_accel(scene)
-            return render_tiled(scene, accel, camera, cfg.height, cfg.width, wcfg)
+        build = jax.jit(build_scene_accel)
 
-        return run_tiled
+        @jax.jit
+        def run_tiled(scene: Scene, accel, camera: Camera):
+            return render_tiled(scene, accel, camera, cfg.height, cfg.width,
+                                wcfg, with_aux=True)
+
+        # The accel is built at scene load and reused across frames (the
+        # reference builds its BVH once in main(), SURVEY.md §3.1 A); a new
+        # scene object triggers a rebuild.
+        state = {"scene": None, "accel": None}
+
+        def run(scene: Scene, camera: Camera, with_aux: bool = False):
+            if state["scene"] is not scene:
+                state["accel"] = build(scene)
+                state["scene"] = scene
+            img, aux = run_tiled(scene, state["accel"], camera)
+            return (img, aux) if with_aux else img
+
+        return run
 
     trace_fn_builder = partial(build_tracers, cfg=cfg)
 
@@ -126,15 +140,47 @@ def render(config: str | RenderConfig | None = None, **overrides) -> np.ndarray:
     return np.asarray(run(scene, camera))
 
 
+def make_grad_step_fn(cfg: RenderConfig, optimizer):
+    """Jitted (scene, camera, target, params, opt_state) ->
+    (loss, params, opt_state) optimization step of the image MSE w.r.t.
+    scene params. `params` selects what is optimized: dict with optional
+    keys 'verts', 'albedo', 'cam_pos'. Used by the inverse-rendering loop
+    (tracer.diff.fit, BASELINE config 3)."""
+    import optax
+
+    wcfg = _whitted_cfg(cfg)
+
+    @jax.jit
+    def step(scene: Scene, camera: Camera, target: jax.Array, params, opt_state):
+        def loss_fn(p):
+            import dataclasses as dc
+
+            s = scene
+            if "verts" in p:
+                s = dc.replace(s, verts=p["verts"])
+            if "albedo" in p:
+                s = dc.replace(s, materials=dc.replace(s.materials, albedo=p["albedo"]))
+            cam = camera
+            if "cam_pos" in p:
+                cam = dc.replace(cam, position=p["cam_pos"])
+            trace_fn, occlude_fn = build_tracers(s, cfg)
+            rays = generate_rays(cam, cfg.height, cfg.width)
+            img = render_wavefront(s, rays, wcfg, trace_fn, occlude_fn)
+            return jnp.mean((img - target) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return loss, new_params, new_opt_state
+
+    return step
+
+
 def grad_step(scene: Scene, camera: Camera, target: jax.Array, cfg: RenderConfig,
               optimizer=None, opt_state=None, params=None):
-    """One optimization step of L2(render(scene), target) w.r.t. scene params.
+    """One optimization step (convenience wrapper over make_grad_step_fn).
 
-    `params` selects what is optimized: dict with optional keys
-    'verts', 'albedo', 'cam_pos'. Returns (loss, new_params, new_opt_state).
-    Used by the inverse-rendering demo (BASELINE config 3); the edge-aware
-    gradient path lives in tracer.diff.
-    """
+    Returns (loss, new_params, new_opt_state)."""
     import optax
 
     if params is None:
@@ -143,29 +189,8 @@ def grad_step(scene: Scene, camera: Camera, target: jax.Array, cfg: RenderConfig
         optimizer = optax.adam(1e-3)
     if opt_state is None:
         opt_state = optimizer.init(params)
-
-    wcfg = _whitted_cfg(cfg)
-
-    def loss_fn(p):
-        import dataclasses as dc
-
-        s = scene
-        if "verts" in p:
-            s = dc.replace(s, verts=p["verts"])
-        if "albedo" in p:
-            s = dc.replace(s, materials=dc.replace(s.materials, albedo=p["albedo"]))
-        cam = camera
-        if "cam_pos" in p:
-            cam = dc.replace(cam, position=p["cam_pos"])
-        trace_fn, occlude_fn = build_tracers(s, cfg)
-        rays = generate_rays(cam, cfg.height, cfg.width)
-        img = render_wavefront(s, rays, wcfg, trace_fn, occlude_fn)
-        return jnp.mean((img - target) ** 2)
-
-    loss, grads = jax.value_and_grad(loss_fn)(params)
-    updates, opt_state = optimizer.update(grads, opt_state, params)
-    params = optax.apply_updates(params, updates)
-    return loss, params, opt_state
+    step = make_grad_step_fn(cfg, optimizer)
+    return step(scene, camera, target, params, opt_state)
 
 
 def benchmark(config: str | RenderConfig | None = None, iters: int = 10,
@@ -183,9 +208,14 @@ def benchmark(config: str | RenderConfig | None = None, iters: int = 10,
         img = run(scene, camera)
     img.block_until_ready()
     dt = (time.perf_counter() - t0) / iters
+    overflow = None
+    if _use_tiled_path(scene, cfg):
+        _, aux = run(scene, camera, with_aux=True)
+        overflow = int(aux["overflow"])
     primary_rays = cfg.height * cfg.width
     # Count every traced wavefront: per bounce one closest-hit pass plus one
     # shadow pass per light (the standard rays/s accounting for Whitted).
+    # `primary_rays_per_s` is the stricter closest-hit-only number.
     rays_per_frame = primary_rays * cfg.max_bounces * (1 + scene.lights.count)
     return {
         "config": cfg,
@@ -194,5 +224,32 @@ def benchmark(config: str | RenderConfig | None = None, iters: int = 10,
         "rays_per_s": rays_per_frame / dt,
         "primary_rays_per_s": primary_rays * cfg.max_bounces / dt,
         "num_tris": scene.num_tris,
+        "overflow": overflow,
         "image": np.asarray(img),
     }
+
+
+def benchmark_grad_step(config: str | RenderConfig | None = "bunny-grad",
+                        iters: int = 5, warmup: int = 1, **overrides) -> dict:
+    """Timed optimization steps (loss+grad+update) -> grad_step_ms.
+
+    BASELINE.md requires grad-step time measured and reported per config.
+    """
+    import optax
+
+    cfg = config if isinstance(config, RenderConfig) else load_config(config, **overrides)
+    scene, camera = get_scene(cfg)
+    target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    optimizer = optax.adam(1e-3)
+    params = {"verts": scene.verts}
+    opt_state = optimizer.init(params)
+    step = make_grad_step_fn(cfg, optimizer)
+    for _ in range(max(warmup, 1)):
+        loss, params, opt_state = step(scene, camera, target, params, opt_state)
+        jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        loss, params, opt_state = step(scene, camera, target, params, opt_state)
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / iters
+    return {"grad_step_ms": dt * 1e3, "loss": float(loss), "config": cfg}

@@ -115,7 +115,10 @@ def cull_clusters_sorted(accel, o: jax.Array, d: jax.Array, t_max, k_cap: int):
     """Front-to-back sorted cull: tiles vs cluster AABBs.
 
     Returns (words (Ntiles, k_cap) int32 packed (t_lo_q | cluster) sorted
-    ascending, counts (Ntiles,) int32 clipped to k_cap, overflow () bool).
+    ascending, counts (Ntiles,) int32 clipped to k_cap, excess () int32 —
+    the TOTAL number of candidates dropped by the k_cap truncation across
+    all tiles; nonzero means geometry was silently skipped and callers must
+    surface it (VERDICT r2 item 9)).
     """
     n_cl = accel.num_clusters
     o_lo, o_hi, d_lo, d_hi = tile_bounds(o, d)
@@ -133,12 +136,12 @@ def cull_clusters_sorted(accel, o: jax.Array, d: jax.Array, t_max, k_cap: int):
     words = jnp.sort(words, axis=1)
     counts = jnp.sum(ok, axis=1).astype(jnp.int32)
     k = min(k_cap, n_cl)
-    overflow = jnp.any(counts > k)
+    excess = jnp.sum(jnp.maximum(counts - k, 0))
     words = words[:, :k]
     if k < k_cap:
         pad = jnp.full((words.shape[0], k_cap - k), WORD_INVALID, jnp.int32)
         words = jnp.concatenate([words, pad], axis=1)
-    return words, jnp.minimum(counts, k_cap), overflow
+    return words, jnp.minimum(counts, k_cap), excess
 
 
 def cull_clusters(accel, o: jax.Array, d: jax.Array, t_max, k_cap: int):

@@ -67,24 +67,41 @@ def edge_heights(verts: jax.Array, tris: jax.Array) -> jax.Array:
     return twoA[:, None] / jnp.maximum(lens, 1e-20)
 
 
-def _pair_margins(ray: Ray, verts, tris, t_min, t_max):
-    """All (ray x tri) pairs -> (hard_hit, world_margin, t).
+def _pair_margins(ray: Ray, verts, tris, t_min, t_max, eps: float = 1e-12):
+    """All (ray x tri) pairs -> (hard_hit, world_margin, t_plane).
 
     hard_hit: the exact hit indicator (same predicate as moller_trumbore).
     world_margin: signed distance (in world units) from the ray/plane
     intersection to the nearest edge of the triangle; positive inside.
+    t_plane: the RAW ray/plane intersection parameter, defined for every
+    non-degenerate triangle whether or not the barycentric test passes —
+    the soft gates below must see near-miss (outside-the-edge) triangles,
+    so they cannot use moller_trumbore's hit-gated t (which is T_FAR for
+    every miss and would make silhouette gradients one-sided).
     Shapes: ray batch (...,), tris (T,) -> outputs (..., T).
     """
     v0 = verts[tris[:, 0]]
     v1 = verts[tris[:, 1]]
     v2 = verts[tris[:, 2]]
+    e1 = v1 - v0
+    e2 = v2 - v0
     o = ray.o[..., None, :]  # (..., 1, 3)
     d = ray.d[..., None, :]
-    t, u, v, hit = moller_trumbore(o, d, v0, v1, v2, t_min=t_min, t_max=t_max)
+    pvec = jnp.cross(d, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    nondeg = jnp.abs(det) > eps
+    inv_det = jnp.where(nondeg, 1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+    tvec = o - v0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(d * qvec, axis=-1) * inv_det
+    t_plane = jnp.where(nondeg, jnp.sum(e2 * qvec, axis=-1) * inv_det, T_FAR)
+    hit = (nondeg & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+           & (t_plane > t_min) & (t_plane < t_max))
     w = 1.0 - u - v
     h = edge_heights(verts, tris)  # (T, 3)
     margin = jnp.minimum(jnp.minimum(w * h[:, 0], u * h[:, 1]), v * h[:, 2])
-    return hit, margin, t
+    return hit, margin, t_plane
 
 
 def soft_any_hit(ray: Ray, verts, tris, t_max, edge_eps: float,
@@ -96,10 +113,13 @@ def soft_any_hit(ray: Ray, verts, tris, t_max, edge_eps: float,
         t_max_b = t_max[..., None]
     else:
         t_max_b = t_max
-    hit, margin, t = _pair_margins(ray, verts, tris, t_min, T_FAR)
+    hit, margin, t_plane = _pair_margins(ray, verts, tris, t_min, T_FAR)
     # The t-range gate stays hard (contact discontinuities are measure-zero
-    # for the silhouette term this approximates); detach it.
-    in_range = jax.lax.stop_gradient((t > t_min) & (t < t_max_b))
+    # for the silhouette term this approximates); detach it. It is evaluated
+    # on the RAW plane t so triangles the ray narrowly misses (outside the
+    # edge, margin < 0) still contribute their sigmoid tail — that is what
+    # makes the silhouette gradient two-sided.
+    in_range = jax.lax.stop_gradient((t_plane > t_min) & (t_plane < t_max_b))
     s = jax.nn.sigmoid(margin / edge_eps) * in_range
     soft_occ = 1.0 - jnp.prod(1.0 - s, axis=-1)
     hard_occ = jnp.any(hit & in_range, axis=-1)
@@ -110,10 +130,11 @@ def soft_coverage(ray: Ray, verts, tris, edge_eps: float,
                   t_min: float = RAY_EPS):
     """Primary-visibility coverage alpha with edge-aware gradient: 1 where
     the ray hits anything (exact), gradient from the smooth union."""
-    hit, margin, t = _pair_margins(ray, verts, tris, t_min, T_FAR)
-    in_range = jax.lax.stop_gradient(t < T_FAR) | jax.lax.stop_gradient(
-        margin > 0)  # plane hit in front; sigmoid handles the edge band
-    in_front = jax.lax.stop_gradient(t > t_min) & jax.lax.stop_gradient(t < T_FAR)
+    hit, margin, t_plane = _pair_margins(ray, verts, tris, t_min, T_FAR)
+    # Raw-plane-t gate (detached): every triangle whose supporting plane is
+    # crossed in front of the ray contributes its sigmoid band, inside OR
+    # outside the edge — two-sided silhouette gradients.
+    in_front = jax.lax.stop_gradient((t_plane > t_min) & (t_plane < T_FAR))
     s = jax.nn.sigmoid(margin / edge_eps) * in_front
     soft = 1.0 - jnp.prod(1.0 - s, axis=-1)
     hard = jnp.any(hit, axis=-1)

@@ -51,25 +51,27 @@ def mt_from_edges(o, d, v0, e1, e2, t_min=T_MIN, eps=1e-12):
 
 
 def _trace_rows(accel: ClusterAccel, o_t, d_t, k_cap, interpret):
-    """Kernel selection pass -> (gid, rows). All kernel inputs are
+    """Kernel selection pass -> (gid, rows, excess). All kernel inputs are
     stop-gradiented; gradients flow through the row recompute instead."""
     sg = jax.lax.stop_gradient
     accel_sg = sg(accel)
-    words, counts, _ = cull_clusters_sorted(accel_sg, sg(o_t), sg(d_t),
-                                            T_FAR, k_cap)
+    words, counts, excess = cull_clusters_sorted(accel_sg, sg(o_t), sg(d_t),
+                                                 T_FAR, k_cap)
     _bt, gid = trace_tiles_sorted(sg(o_t), sg(d_t), accel_sg, words, counts,
                                   interpret=interpret)
     rows = accel.shade[jnp.maximum(gid, 0)]  # (Nt, TR, SHADE_COLS)
-    return gid, rows
+    return gid, rows, excess
 
 
 def _occluded(accel: ClusterAccel, o_t, d_t, t_max_t, k_cap, interpret):
     sg = jax.lax.stop_gradient
     accel_sg = sg(accel)
     o_t, d_t, t_max_t = sg(o_t), sg(d_t), sg(t_max_t)
-    words, counts, _ = cull_clusters_sorted(accel_sg, o_t, d_t, t_max_t, k_cap)
-    return any_hit_tiles_sorted(o_t, d_t, t_max_t, accel_sg, words, counts,
-                                interpret=interpret)
+    words, counts, excess = cull_clusters_sorted(accel_sg, o_t, d_t, t_max_t,
+                                                 k_cap)
+    occ = any_hit_tiles_sorted(o_t, d_t, t_max_t, accel_sg, words, counts,
+                               interpret=interpret)
+    return occ, excess
 
 
 def _segment_occluded(accel: ClusterAccel, light_pos, p_t, eps_t, k_cap,
@@ -91,21 +93,33 @@ def _segment_occluded(accel: ClusterAccel, light_pos, p_t, eps_t, k_cap,
     d_t = sg(p_t) - light_pos
     seg_len = jnp.sqrt(jnp.maximum(jnp.sum(d_t * d_t, axis=-1), 1e-20))
     t_max_t = 1.0 - eps_t / seg_len
-    words, counts, _ = cull_clusters_sorted(accel_sg, o_t, d_t, t_max_t, k_cap)
-    return any_hit_tiles_sorted(o_t, d_t, t_max_t, accel_sg, words, counts,
-                                interpret=interpret)
+    words, counts, excess = cull_clusters_sorted(accel_sg, o_t, d_t, t_max_t,
+                                                 k_cap)
+    occ = any_hit_tiles_sorted(o_t, d_t, t_max_t, accel_sg, words, counts,
+                               interpret=interpret)
+    return occ, excess
+
+
+# Closest-hit candidate cap: primary/bounce frusta are tight (p99 ~ 24 on
+# the 100k-tri bench scene), so a small cap quadruples the tiles per Pallas
+# launch (SMEM word budget) with overflow surfaced, not silent.
+K_CLOSEST = 64
 
 
 def render_tiled(scene, accel: ClusterAccel, camera: Camera,
                  height: int, width: int, cfg: WhittedConfig,
                  k_cap: int = DEFAULT_K, tr: int = 64,
-                 interpret: bool = False) -> jax.Array:
+                 interpret: bool = False, with_aux: bool = False):
     # tr=64 (8x8-pixel tiles): measured 2.4x faster than 16x16 at 1080p —
     # tighter tile frusta cut candidates/tile 5x (mean 18.3 -> 3.5), which
     # outweighs the 4x tile count; VPU blocks stay full at (64, 384).
-    """Full-image Whitted render on the v2 kernel path -> (H, W, 3)."""
+    """Full-image Whitted render on the v2 kernel path -> (H, W, 3), or
+    ((H, W, 3), aux) when with_aux: aux['overflow'] counts cull candidates
+    dropped by the k-caps (0 == exact)."""
     k = min(k_cap, accel.num_clusters)
     k = max(8, -(-k // 8) * 8)
+    kc = min(K_CLOSEST, k)
+    overflow = jnp.int32(0)
     rays = generate_rays(camera, height, width)
     o_t, d_t, tiling = tile_rays(rays.o, rays.d, tr)  # one fold transpose
 
@@ -116,7 +130,8 @@ def render_tiled(scene, accel: ClusterAccel, camera: Camera,
     live = jnp.ones(shape, bool)
 
     for bounce in range(cfg.max_bounces):
-        gid, rows = _trace_rows(accel, o_t, d_t, k, interpret)
+        gid, rows, exc = _trace_rows(accel, o_t, d_t, kc, interpret)
+        overflow = overflow + exc
         v0 = rows[..., 0:3]
         e1 = rows[..., 3:6]
         e2 = rows[..., 6:9]
@@ -153,8 +168,9 @@ def render_tiled(scene, accel: ClusterAccel, camera: Camera,
             # so they don't fatten the shadow frusta or cost kernel work.
             lit = valid & (cos > 0.0)
             target = jnp.where(lit[..., None], p + n * RAY_EPS, lpos)
-            occ = _segment_occluded(accel, lpos, target,
-                                    jnp.float32(RAY_EPS), k, interpret)
+            occ, exc = _segment_occluded(accel, lpos, target,
+                                         jnp.float32(RAY_EPS), k, interpret)
+            overflow = overflow + exc
             vis = jnp.where(occ | ~lit, 0.0, 1.0)
             irr = (cos * vis / jnp.maximum(dist2, 1e-20))[..., None] * lint
             direct = direct + albedo / jnp.pi * irr
@@ -171,4 +187,7 @@ def render_tiled(scene, accel: ClusterAccel, camera: Camera,
             throughput = throughput * mirror
             live = valid & (mirror[..., 0] > 0.0)
 
-    return untile(radiance, tiling)
+    img = untile(radiance, tiling)
+    if with_aux:
+        return img, {"overflow": overflow}
+    return img
