@@ -24,7 +24,32 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 BASELINE_RAYS_PER_S = 100e6  # >=100M rays/s/chip target (BASELINE.json:5)
 
 
+def scaling_rows() -> int:
+    """--scaling: emit BASELINE.md scaling-table rows. Single-chip row is
+    measured on the attached chip; multi-chip rows require pod hardware not
+    present in this environment and are marked pending (SURVEY.md §4)."""
+    import jax
+
+    from tracer.api import benchmark
+
+    n = len(jax.devices())
+    result = benchmark(os.environ.get("BENCH_PRESET", "bench100k"),
+                       iters=int(os.environ.get("BENCH_ITERS", "5")))
+    mray = result["rays_per_s"] / 1e6
+    print("| Topology | rays/s | scaling efficiency | status |")
+    print("|---|---|---|---|")
+    print(f"| 1 chip ({jax.devices()[0].device_kind}) | {mray:.1f} Mrays/s "
+          f"| 100% (definition) | measured |")
+    for label in ("1 host (4 chips)", "4 hosts (16 chips)"):
+        print(f"| {label} | — | target >=85% | pending pod hardware "
+              f"(this env exposes {n} chip) |")
+    return 0
+
+
 def main() -> int:
+    if "--scaling" in sys.argv:
+        return scaling_rows()
+
     from tracer.api import benchmark, benchmark_grad_step
 
     preset = os.environ.get("BENCH_PRESET", "bench100k")

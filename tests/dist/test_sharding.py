@@ -62,6 +62,38 @@ def test_geometry_sharding_matches_replicated(scene_cam, reference_image,
     assert mismatch < 1e-2, f"{mismatch:.3%} pixels differ"
 
 
+@pytest.mark.parametrize("use_ring", [True, False],
+                         ids=["ring-ppermute", "pmin-reduce"])
+def test_geometry_sharding_accel_tier_matches(scene_cam, reference_image,
+                                              use_ring):
+    """Cluster-accel per-shard tier == replicated reference (T11 at scale:
+    the tier that makes the 1M-tri pod config feasible)."""
+    scene, cam = scene_cam
+    mesh = make_render_mesh(jax.devices(), data=2, geom=4)
+    run = make_ring_render_fn(scene, CFG, mesh, use_ring=use_ring,
+                              use_accel=True)
+    img = np.asarray(run(scene, cam))
+    mismatch = np.mean(~np.isclose(img, reference_image, rtol=1e-4, atol=1e-4))
+    assert mismatch < 1e-2, f"{mismatch:.3%} pixels differ"
+
+
+def test_ring_accel_100k_smoke():
+    """>=100k-tri scene through the accel ring on the CPU mesh (tiny image):
+    completes and produces finite, lit output."""
+    from tracer.scene.procedural import bench_scene
+    from tracer.core.camera import Camera
+
+    scene, cam = bench_scene()
+    camera = Camera.make(**cam)
+    assert scene.num_tris >= 100_000
+    cfg = load_config("cornell256", height=32, width=64, max_bounces=1)
+    mesh = make_render_mesh(jax.devices(), data=2, geom=4)
+    run = make_ring_render_fn(scene, cfg, mesh, use_ring=True)  # auto-accel
+    img = np.asarray(run(scene, camera))
+    assert np.isfinite(img).all()
+    assert img.max() > 0.01
+
+
 def test_sharded_grad_matches_local(scene_cam):
     scene, cam = scene_cam
     mesh = make_render_mesh(jax.devices(), data=8, geom=1)

@@ -203,11 +203,14 @@ def benchmark(config: str | RenderConfig | None = None, iters: int = 10,
     img.block_until_ready()
     for _ in range(max(warmup - 1, 0)):
         run(scene, camera).block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        img = run(scene, camera)
-    img.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
+    from tracer.utils.metrics import profile_trace
+
+    with profile_trace(cfg.profile):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            img = run(scene, camera)
+        img.block_until_ready()
+        dt = (time.perf_counter() - t0) / iters
     overflow = None
     if _use_tiled_path(scene, cfg):
         _, aux = run(scene, camera, with_aux=True)

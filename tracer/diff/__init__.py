@@ -12,6 +12,7 @@ from tracer.diff.edge import (
     soft_coverage,
     edge_heights,
 )
+from tracer.diff.fit import FitConfig, fit, init_params, latest_checkpoint
 
 __all__ = [
     "render_diff",
@@ -19,4 +20,8 @@ __all__ = [
     "soft_any_hit",
     "soft_coverage",
     "edge_heights",
+    "FitConfig",
+    "fit",
+    "init_params",
+    "latest_checkpoint",
 ]

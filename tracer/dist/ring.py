@@ -21,10 +21,16 @@ Design — the ray-tracing analog of ring attention / context parallelism:
     masked `psum`. Fewer steps (no rotation) but peak = full local result;
     the ring formulation is the one that generalizes to per-step compaction.
 
-Intersection inside the shard uses the dense (R x T_local) brute path (pure
-jnp -> runs on CPU test meshes and TPU alike); on TPU the per-shard
-intersection can be swapped for the cluster/Pallas tracers without changing
-the communication structure.
+Intersection inside the shard has two tiers sharing the same communication
+structure (proved equal in tests/dist/test_sharding.py):
+
+  * brute rows (`_rows_hit`): dense (R x T_local) — small scenes/tests;
+  * cluster accel (`build_rows_accel` + `accel_trace_rows`): each shard's
+    row block is morton-clustered into a shard-local ClusterAccel and rays
+    are tile-culled against it (bvh.cull + kernels.trace_tiles_jnp), so the
+    per-shard cost is O(R x candidates x C) instead of O(R x T/g) — the
+    tier that scales to the 1M-tri pod config (BASELINE config 5). The
+    accel pytree is what rotates around the ring.
 """
 from __future__ import annotations
 
@@ -103,6 +109,159 @@ def _nearest_row(t_pairs, rows):
     return t_pairs[r, idx], rows[idx]
 
 
+# ---------------------------------------------------------------------------
+# Cluster-accel tier: shard-local acceleration structure built FROM the
+# rotating row blocks, so the ring comm pattern is unchanged.
+# ---------------------------------------------------------------------------
+
+def build_rows_accel(rows: jax.Array, cluster_size: int | None = None):
+    """(T_shard, ROW_COLS) row block -> shard-local ClusterAccel (jittable,
+    vmap-able over shards). The accel's shade table IS the morton-permuted
+    row block, and tri_ids are sorted-slot ids indexing straight into it."""
+    from tracer.bvh.cluster import CLUSTER_SIZE, SUPER_FACTOR, ClusterAccel
+    from tracer.bvh.morton import morton3d, quantize_positions
+    from tracer.core.intersect import triangle_affine_maps
+
+    C = cluster_size or CLUSTER_SIZE
+    T = rows.shape[0]
+    v0 = rows[:, 0:3]
+    v1 = v0 + rows[:, 3:6]
+    v2 = v0 + rows[:, 6:9]
+    tri_lo = jnp.minimum(jnp.minimum(v0, v1), v2)
+    tri_hi = jnp.maximum(jnp.maximum(v0, v1), v2)
+    real = rows[:, 25] > 0.5  # padding rows must not skew the morton grid
+    centroid = jax.lax.stop_gradient(0.5 * (tri_lo + tri_hi))
+    big = jnp.float32(T_FAR)
+    scene_lo = jnp.min(jnp.where(real[:, None], centroid, big), axis=0)
+    scene_hi = jnp.max(jnp.where(real[:, None], centroid, -big), axis=0)
+    codes = morton3d(quantize_positions(centroid, scene_lo, scene_hi))
+    # Sort padding rows to the back so real triangles stay densely packed.
+    codes = jnp.where(real, codes, jnp.uint32(0xFFFFFFFF))
+    order = jnp.argsort(codes).astype(jnp.int32)
+
+    n_cl = -(-T // C)
+    n_pad = n_cl * C
+    order_p = jnp.concatenate(
+        [order, jnp.zeros((n_pad - T,), jnp.int32)]) if n_pad != T else order
+    slot_valid = ((jnp.arange(n_pad, dtype=jnp.int32) < T)
+                  & (rows[order_p, 25] > 0.5))
+
+    verts = jnp.stack([v0, v1, v2], axis=1).reshape(-1, 3)
+    tris = jnp.arange(3 * T, dtype=jnp.int32).reshape(T, 3)
+    maps = triangle_affine_maps(verts, tris)[order_p]
+    maps = jnp.where(slot_valid[:, None, None], maps, 0.0)
+    mc = maps.reshape(n_cl, C, 3, 4)
+    w = jnp.concatenate([mc[:, :, 0, :], mc[:, :, 1, :], mc[:, :, 2, :]],
+                        axis=1)
+    tri_w = jnp.transpose(w, (0, 2, 1))  # (Ncl, 4, 3C)
+
+    tri_ids = jnp.where(slot_valid, jnp.arange(n_pad, dtype=jnp.int32),
+                        -1).reshape(n_cl, C)
+    lo_p = jnp.where(slot_valid[:, None], tri_lo[order_p], big).reshape(n_cl, C, 3)
+    hi_p = jnp.where(slot_valid[:, None], tri_hi[order_p], -big).reshape(n_cl, C, 3)
+    cluster_lo = jax.lax.stop_gradient(jnp.min(lo_p, axis=1))
+    cluster_hi = jax.lax.stop_gradient(jnp.max(hi_p, axis=1))
+    n_sc = -(-n_cl // SUPER_FACTOR)
+    pad_sc = n_sc * SUPER_FACTOR - n_cl
+    sc_lo = jnp.concatenate(
+        [cluster_lo, jnp.full((pad_sc, 3), big)]).reshape(n_sc, SUPER_FACTOR, 3)
+    sc_hi = jnp.concatenate(
+        [cluster_hi, jnp.full((pad_sc, 3), -big)]).reshape(n_sc, SUPER_FACTOR, 3)
+
+    shade = jnp.where(slot_valid[:, None], rows[order_p], 0.0)
+    return ClusterAccel(
+        tri_w=tri_w, tri_ids=tri_ids,
+        cluster_lo=cluster_lo, cluster_hi=cluster_hi,
+        super_lo=jnp.min(sc_lo, axis=1), super_hi=jnp.max(sc_hi, axis=1),
+        shade=shade)
+
+
+_RING_K_CAP = 64
+_RING_TR = 64
+
+
+def accel_trace_rows(o, d, accel, t_min=RAY_EPS, t_max=T_FAR):
+    """Shard-local nearest hit via the cluster accel: (t (R,), row (R, C))."""
+    from tracer.bvh.cull import cull_clusters
+    from tracer.kernels import tile_rays, trace_tiles_jnp, untile
+
+    o_t, d_t, tiling = tile_rays(o, d, _RING_TR)
+    k = min(_RING_K_CAP, accel.num_clusters)
+    cand, counts, _ = cull_clusters(accel, o_t, d_t, t_max, k)
+    bt, bslot, _, _ = trace_tiles_jnp(o_t, d_t, accel, cand, counts,
+                                      t_min=t_min)
+    t = untile(bt, tiling)
+    slot = untile(bslot, tiling)
+    row = accel.shade[jnp.maximum(slot, 0)]
+    row = jnp.where((slot >= 0)[:, None], row, 0.0)
+    return jnp.where(slot >= 0, t, T_FAR), row
+
+
+def accel_any_hit(o, d, accel, t_max, t_min=RAY_EPS):
+    """Shard-local occlusion via the cluster accel: (R,) bool."""
+    from tracer.bvh.cull import cull_clusters
+    from tracer.kernels import any_hit_tiles_jnp, tile_rays, untile
+
+    tm = t_max if jnp.ndim(t_max) else jnp.full(o.shape[:1], t_max, o.dtype)
+    o_t, d_t, tiling = tile_rays(o, d, _RING_TR)
+    tm3 = jnp.broadcast_to(tm[:, None], tm.shape + (3,))
+    tm_t, _, _ = tile_rays(tm3, tm3, _RING_TR)
+    tm_t = tm_t[..., 0]
+    k = min(_RING_K_CAP, accel.num_clusters)
+    cand, counts, _ = cull_clusters(accel, o_t, d_t, tm_t, k)
+    occ = any_hit_tiles_jnp(o_t, d_t, tm_t, accel, cand, counts, t_min=t_min)
+    return untile(occ, tiling)
+
+
+def _tree_ppermute(tree, axis_name, perm):
+    return jax.tree_util.tree_map(
+        lambda x: jax.lax.ppermute(x, axis_name, perm), tree)
+
+
+def _rows_trace_local(o, d, rows, t_min, t_max):
+    t_pairs = _rows_hit(o, d, rows, t_min, t_max)
+    return _nearest_row(t_pairs, rows)
+
+
+def _rows_any_local(o, d, rows, t_min, tm):
+    t_pairs = _rows_hit(o, d, rows, t_min, tm[:, None])
+    return jnp.any(t_pairs < T_FAR, axis=-1)
+
+
+def _ring_closest(o, d, local, local_trace, row_cols, axis_name):
+    """Generic ring pass: `local` (rows block OR accel pytree) rotates via
+    ppermute; rays + running nearest-hit state stay put."""
+    g = jax.lax.axis_size(axis_name)
+    perm = [(i, (i + 1) % g) for i in range(g)]
+
+    # Unrolled Python loop (g is static, small): sidesteps lax.scan's
+    # varying-manual-axes carry typing under shard_map and lets XLA overlap
+    # each step's ppermute with the next intersection.
+    cur = local
+    t_best = jnp.full(o.shape[:1], T_FAR, o.dtype)
+    row_best = jnp.zeros((o.shape[0], row_cols), o.dtype)
+    for step in range(g):
+        t_new, row_new = local_trace(o, d, cur)
+        better = t_new < t_best
+        t_best = jnp.where(better, t_new, t_best)
+        row_best = jnp.where(better[:, None], row_new, row_best)
+        if step + 1 < g:
+            cur = _tree_ppermute(cur, axis_name, perm)
+    return t_best, row_best
+
+
+def _ring_any(o, d, local, local_any, axis_name):
+    g = jax.lax.axis_size(axis_name)
+    perm = [(i, (i + 1) % g) for i in range(g)]
+    cur = local
+    occ = jnp.zeros(o.shape[:1], bool)
+    for step in range(g):
+        occ = occ | local_any(o, d, cur)
+        if step + 1 < g:
+            cur = _tree_ppermute(cur, axis_name, perm)
+    return occ
+
+
 def ring_trace_rows(o, d, rows_local, t_min=RAY_EPS, t_max=T_FAR,
                     axis_name: str = GEOM_AXIS):
     """Inside-shard_map ring pass: full nearest hit of local rays against
@@ -111,42 +270,40 @@ def ring_trace_rows(o, d, rows_local, t_min=RAY_EPS, t_max=T_FAR,
     o, d: (R, 3) local rays. rows_local: (T_shard, ROW_COLS) local block.
     Returns (t_best (R,), row_best (R, ROW_COLS)).
     """
-    g = jax.lax.axis_size(axis_name)
-    perm = [(i, (i + 1) % g) for i in range(g)]
+    return _ring_closest(
+        o, d, rows_local,
+        lambda o_, d_, rows: _rows_trace_local(o_, d_, rows, t_min, t_max),
+        rows_local.shape[1], axis_name)
 
-    # Unrolled Python loop (g is static, small): sidesteps lax.scan's
-    # varying-manual-axes carry typing under shard_map and lets XLA overlap
-    # each step's ppermute with the next intersection.
-    rows = rows_local
-    t_best = jnp.full(o.shape[:1], T_FAR, o.dtype)
-    row_best = jnp.zeros((o.shape[0], rows_local.shape[1]), o.dtype)
-    for step in range(g):
-        t_pairs = _rows_hit(o, d, rows, t_min, t_max)
-        t_new, row_new = _nearest_row(t_pairs, rows)
-        better = t_new < t_best
-        t_best = jnp.where(better, t_new, t_best)
-        row_best = jnp.where(better[:, None], row_new, row_best)
-        if step + 1 < g:
-            rows = jax.lax.ppermute(rows, axis_name, perm)
-    return t_best, row_best
+
+def ring_trace_accel(o, d, accel_local, t_min=RAY_EPS, t_max=T_FAR,
+                     axis_name: str = GEOM_AXIS):
+    """Ring pass with the shard-local cluster accel rotating instead of raw
+    rows (same comm structure; per-shard cost drops to candidates x C)."""
+    return _ring_closest(
+        o, d, accel_local,
+        lambda o_, d_, a: accel_trace_rows(o_, d_, a, t_min, t_max),
+        accel_local.shade.shape[-1], axis_name)
 
 
 def ring_any_hit(o, d, rows_local, t_max, t_min=RAY_EPS,
                  axis_name: str = GEOM_AXIS):
     """Inside-shard_map ring occlusion: True where any shard's geometry
     blocks the ray within (t_min, t_max). t_max: (R,) or scalar."""
-    g = jax.lax.axis_size(axis_name)
-    perm = [(i, (i + 1) % g) for i in range(g)]
     tm = t_max if jnp.ndim(t_max) else jnp.full(o.shape[:1], t_max, o.dtype)
+    return _ring_any(
+        o, d, rows_local,
+        lambda o_, d_, rows: _rows_any_local(o_, d_, rows, t_min, tm),
+        axis_name)
 
-    rows = rows_local
-    occ = jnp.zeros(o.shape[:1], bool)
-    for step in range(g):
-        t_pairs = _rows_hit(o, d, rows, t_min, tm[:, None])
-        occ = occ | jnp.any(t_pairs < T_FAR, axis=-1)
-        if step + 1 < g:
-            rows = jax.lax.ppermute(rows, axis_name, perm)
-    return occ
+
+def ring_any_hit_accel(o, d, accel_local, t_max, t_min=RAY_EPS,
+                       axis_name: str = GEOM_AXIS):
+    tm = t_max if jnp.ndim(t_max) else jnp.full(o.shape[:1], t_max, o.dtype)
+    return _ring_any(
+        o, d, accel_local,
+        lambda o_, d_, a: accel_any_hit(o_, d_, a, tm, t_min),
+        axis_name)
 
 
 def reduce_any_hit(o, d, rows_local, t_max, t_min=RAY_EPS,
@@ -159,13 +316,9 @@ def reduce_any_hit(o, d, rows_local, t_max, t_min=RAY_EPS,
     return jax.lax.psum(occ.astype(jnp.int32), axis_name) > 0
 
 
-def reduce_trace_rows(o, d, rows_local, t_min=RAY_EPS, t_max=T_FAR,
-                      axis_name: str = GEOM_AXIS):
-    """Barrier alternative to the ring: one local intersection, then a
-    cross-shard nearest-hit reduction (pmin on t, pmin tie-break on shard
-    index, masked psum to fetch the winning row)."""
-    t_pairs = _rows_hit(o, d, rows_local, t_min, t_max)
-    t_loc, row_loc = _nearest_row(t_pairs, rows_local)
+def _reduce_merge(t_loc, row_loc, axis_name):
+    """Cross-shard nearest-hit reduction: pmin on t, pmin tie-break on shard
+    index, masked psum to fetch the winning row."""
     t_best = jax.lax.pmin(t_loc, axis_name)
     my = jax.lax.axis_index(axis_name)
     eligible = t_loc <= t_best
@@ -176,9 +329,33 @@ def reduce_trace_rows(o, d, rows_local, t_min=RAY_EPS, t_max=T_FAR,
     return t_best, row_best
 
 
-def _shade_rows(scene, o, d, t, rows, occluder, cfg: WhittedConfig):
+def reduce_trace_rows(o, d, rows_local, t_min=RAY_EPS, t_max=T_FAR,
+                      axis_name: str = GEOM_AXIS):
+    """Barrier alternative to the ring: one local intersection, then the
+    cross-shard nearest-hit reduction."""
+    t_pairs = _rows_hit(o, d, rows_local, t_min, t_max)
+    t_loc, row_loc = _nearest_row(t_pairs, rows_local)
+    return _reduce_merge(t_loc, row_loc, axis_name)
+
+
+def reduce_trace_accel(o, d, accel_local, t_min=RAY_EPS, t_max=T_FAR,
+                       axis_name: str = GEOM_AXIS):
+    t_loc, row_loc = accel_trace_rows(o, d, accel_local, t_min, t_max)
+    return _reduce_merge(t_loc, row_loc, axis_name)
+
+
+def reduce_any_hit_accel(o, d, accel_local, t_max, t_min=RAY_EPS,
+                         axis_name: str = GEOM_AXIS):
+    occ = accel_any_hit(o, d, accel_local, t_max, t_min)
+    return jax.lax.psum(occ.astype(jnp.int32), axis_name) > 0
+
+
+def _shade_rows(lights_pos, lights_int, o, d, t, rows, occluder,
+                cfg: WhittedConfig):
     """Shade a wavefront from hit rows (shared with the tiled integrator's
-    shading model; see render/tiled.py)."""
+    shading model; see render/tiled.py). Light arrays are explicit arguments
+    (NOT a captured scene) so callers that re-run with updated lights shade
+    with the new data."""
     found = (t < T_FAR) & (rows[:, 25] > 0.5)
     p = o + t[:, None] * d
     e1 = rows[:, 3:6]
@@ -200,9 +377,9 @@ def _shade_rows(scene, o, d, t, rows, occluder, cfg: WhittedConfig):
     mirror = rows[:, 24:25]
 
     direct = jnp.zeros_like(p)
-    for li in range(scene.lights.count):
-        lpos = scene.lights.position[li]
-        lint = scene.lights.intensity[li]
+    for li in range(lights_pos.shape[0]):
+        lpos = lights_pos[li]
+        lint = lights_int[li]
         to_l = lpos - p
         dist2 = jnp.sum(to_l * to_l, axis=-1)
         dist = jnp.sqrt(jnp.maximum(dist2, 1e-20))
@@ -218,7 +395,7 @@ def _shade_rows(scene, o, d, t, rows, occluder, cfg: WhittedConfig):
 
 
 def make_ring_render_fn(scene: Scene, cfg, mesh: jax.sharding.Mesh,
-                        use_ring: bool = True):
+                        use_ring: bool = True, use_accel: bool | None = None):
     """Jitted (scene, camera) -> (H, W, 3) with geometry sharded over 'geom'.
 
     Ray placement differs per variant:
@@ -230,15 +407,24 @@ def make_ring_render_fn(scene: Scene, cfg, mesh: jax.sharding.Mesh,
       * reduce (use_ring=False): rays sharded over 'data' and replicated
         over 'geom'; each device intersects its rays against its resident
         shard once and winners combine with pmin/psum collectives.
+
+    Per-shard intersection tier: use_accel=None picks the cluster accel for
+    big scenes (> 8192 tris) and brute rows for tiny ones; pass True/False
+    to force. With the accel tier, the rotating payload is each shard's
+    ClusterAccel pytree (built once per scene, outside shard_map).
     """
     g = mesh.shape[GEOM_AXIS]
+    if use_accel is None:
+        use_accel = scene.num_tris > 8192
     wcfg = WhittedConfig(max_bounces=cfg.max_bounces,
                          smooth_shading=cfg.smooth_shading)
     H, W = cfg.height, cfg.width
     ray_spec = P((DATA_AXIS, GEOM_AXIS)) if use_ring else P(DATA_AXIS)
 
-    def body(o_flat, d_flat, rows_shard):
-        # Per-device: (R_local, 3) rays, (T/g, ROW_COLS) triangle rows.
+    def body(o_flat, d_flat, local, lights_pos, lights_int):
+        # Per-device: (R_local, 3) rays; `local` = (1, ...)-leading geometry
+        # shard (triangle rows or accel pytree) — drop the shard axis.
+        local = jax.tree_util.tree_map(lambda x: x[0], local)
         sky = jnp.asarray(wcfg.sky_color, jnp.float32)
         radiance = jnp.zeros(o_flat.shape, jnp.float32)
         throughput = jnp.ones(o_flat.shape, jnp.float32)
@@ -246,21 +432,20 @@ def make_ring_render_fn(scene: Scene, cfg, mesh: jax.sharding.Mesh,
         o, d = o_flat, d_flat
 
         if use_ring:
-            trace = ring_trace_rows
-            occluder = lambda so, sd, tmax: ring_any_hit(
-                so, sd, rows_shard, tmax)
+            trace = ring_trace_accel if use_accel else ring_trace_rows
+            any_fn = ring_any_hit_accel if use_accel else ring_any_hit
         else:
-            trace = reduce_trace_rows
-            occluder = lambda so, sd, tmax: reduce_any_hit(
-                so, sd, rows_shard, tmax)
+            trace = reduce_trace_accel if use_accel else reduce_trace_rows
+            any_fn = reduce_any_hit_accel if use_accel else reduce_any_hit
+        occluder = lambda so, sd, tmax: any_fn(so, sd, local, tmax)
 
         for bounce in range(wcfg.max_bounces):
-            t, rows = trace(o, d, rows_shard)
-            found, p, n, mirror, local = _shade_rows(
-                scene, o, d, t, rows, occluder, wcfg)
+            t, rows = trace(o, d, local)
+            found, p, n, mirror, local_rad = _shade_rows(
+                lights_pos, lights_int, o, d, t, rows, occluder, wcfg)
             valid = found & live
             miss = jnp.where((live & ~found)[:, None], sky, 0.0)
-            surf = jnp.where(valid[:, None], local * (1.0 - mirror), 0.0)
+            surf = jnp.where(valid[:, None], local_rad * (1.0 - mirror), 0.0)
             radiance = radiance + throughput * (surf + miss)
             if bounce + 1 < wcfg.max_bounces:
                 refl = d - 2.0 * jnp.sum(d * n, axis=-1, keepdims=True) * n
@@ -272,17 +457,20 @@ def make_ring_render_fn(scene: Scene, cfg, mesh: jax.sharding.Mesh,
 
     shard_body = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(ray_spec, ray_spec, P(GEOM_AXIS)),
+        in_specs=(ray_spec, ray_spec, P(GEOM_AXIS), P(), P()),
         out_specs=ray_spec,
     )
 
     @jax.jit
     def run(scene: Scene, camera: Camera) -> jax.Array:
         rows = pad_rows_to_shards(pack_tri_rows(scene), g)
+        shards = rows.reshape(g, -1, rows.shape[1])
+        local = jax.vmap(build_rows_accel)(shards) if use_accel else shards
         rays = generate_rays(camera, H, W)
         o = rays.o.reshape(-1, 3)
         d = rays.d.reshape(-1, 3)
-        img = shard_body(o, d, rows)
+        img = shard_body(o, d, local, scene.lights.position,
+                         scene.lights.intensity)
         return img.reshape(H, W, 3)
 
     return run

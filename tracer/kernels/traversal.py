@@ -171,11 +171,16 @@ def trace_tiles_jnp(o_t, d_t, accel: ClusterAccel, cand, counts, t_min=T_MIN):
             jnp.where(better, vb, bv),
         ), None
 
+    # Under shard_map the scan carry must carry the same varying-axes type
+    # as the body output (which depends on rays AND accel, possibly sharded
+    # over different mesh axes). 0*x terms propagate both inputs' axes onto
+    # the init without changing values (cannot constant-fold: 0*NaN != 0).
+    vary_f = 0.0 * o_t[..., 0] + 0.0 * accel.tri_w.reshape(-1)[0]
     init = (
-        jnp.full((n_tiles, tr), T_FAR, jnp.float32),
-        jnp.full((n_tiles, tr), -1, jnp.int32),
-        jnp.zeros((n_tiles, tr), jnp.float32),
-        jnp.zeros((n_tiles, tr), jnp.float32),
+        jnp.full((n_tiles, tr), T_FAR, jnp.float32) + vary_f,
+        jnp.full((n_tiles, tr), -1, jnp.int32) + vary_f.astype(jnp.int32),
+        jnp.zeros((n_tiles, tr), jnp.float32) + vary_f,
+        jnp.zeros((n_tiles, tr), jnp.float32) + vary_f,
     )
     (bt, btri, bu, bv), _ = jax.lax.scan(step, init, jnp.arange(k_cap, dtype=jnp.int32))
     return bt, btri, bu, bv
@@ -196,7 +201,9 @@ def any_hit_tiles_jnp(o_t, d_t, t_max_t, accel: ClusterAccel, cand, counts, t_mi
         active = (k < counts)[:, None]
         return occ | (jnp.any(hit, axis=-1) & active), None
 
-    occ0 = jnp.zeros((n_tiles, tr), bool)
+    # See trace_tiles_jnp: init must carry both inputs' varying axes.
+    vary_b = (0.0 * o_t[..., 0] + 0.0 * accel.tri_w.reshape(-1)[0]) > 0.0
+    occ0 = jnp.zeros((n_tiles, tr), bool) | vary_b
     occ, _ = jax.lax.scan(step, occ0, jnp.arange(k_cap, dtype=jnp.int32))
     return occ
 

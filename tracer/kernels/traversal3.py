@@ -1,5 +1,13 @@
 """Third-generation traversal kernels: flat (tile, candidate) pair grid.
 
+STATUS — PARKED (round 3, VERDICT r2 item 10 resolution): the v2 sorted
+kernels with G-tile x B-candidate batching (traversal2) run the
+1080p/100k-tri bench at ~142 ms/frame, while this pair-grid variant's 1080p
+compile hung the Mosaic toolchain (>70 min, killed; scripts/profile_v3.py).
+Nothing on the hot path imports this module; it remains as an
+interpret-mode-tested reference design (tests/unit/test_traversal3.py) for
+data-driven index-map streaming, not a production tier.
+
 Reference parity: same role as kernels.traversal2 — the TPU-native
 replacement for the reference's divergent per-ray stack traversal
 (SURVEY.md R3). v2 walked each tile's sorted candidate list with a
@@ -188,7 +196,9 @@ def _pad_tile_dim(x):
 def trace_tiles_pairs(o_t, d_t, accel: ClusterAccel, words, counts,
                       t_min=T_MIN, pairs_per_tile: int = DEFAULT_PAIRS_PER_TILE,
                       interpret: bool = False):
-    """Closest-hit over the pair grid: (bt, gid) each (Ntiles, TR)."""
+    """Closest-hit over the pair grid: (bt, gid, overflow) — bt/gid (Ntiles,
+    TR); overflow True when the pairs_per_tile budget truncated candidates
+    (callers must surface it; ADVICE r2)."""
     n_tiles, tr, _ = o_t.shape
     c = accel.cluster_size
     n_cl = accel.num_clusters
@@ -203,7 +213,7 @@ def trace_tiles_pairs(o_t, d_t, accel: ClusterAccel, words, counts,
     o4p, d4p, rtp = _pad_tile_dim(o4), _pad_tile_dim(d4), _pad_tile_dim(rt)
 
     p_cap = -(-max(pairs_per_tile * n_tiles, 1) // PAIR_CHUNK) * PAIR_CHUNK
-    tiles, pwords, total, _overflow = _build_stream_clamped(
+    tiles, pwords, total, overflow = _build_stream_clamped(
         words, counts, p_cap, n_tiles)
 
     bt = jnp.full((n_tiles + 1, tr, 1), T_FAR, jnp.float32)
@@ -247,14 +257,14 @@ def trace_tiles_pairs(o_t, d_t, accel: ClusterAccel, words, counts,
     for tiles_c, words_c in _iter_chunks(tiles, pwords, counts, n_tiles,
                                          p_cap):
         bt, bid = call(tiles_c, words_c, bt, bid)
-    return bt[:n_tiles, :, 0], bid[:n_tiles, :, 0]
+    return bt[:n_tiles, :, 0], bid[:n_tiles, :, 0], overflow
 
 
 def any_hit_tiles_pairs(o_t, d_t, t_max_t, accel: ClusterAccel, words, counts,
                         t_min=T_MIN,
                         pairs_per_tile: int = DEFAULT_PAIRS_PER_TILE,
                         interpret: bool = False):
-    """Occlusion over the pair grid: (Ntiles, TR) bool."""
+    """Occlusion over the pair grid: ((Ntiles, TR) bool, overflow)."""
     n_tiles, tr, _ = o_t.shape
     c = accel.cluster_size
     n_cl = accel.num_clusters
@@ -272,7 +282,7 @@ def any_hit_tiles_pairs(o_t, d_t, t_max_t, accel: ClusterAccel, words, counts,
     rtp, tmp = _pad_tile_dim(rt), _pad_tile_dim(tmax3)
 
     p_cap = -(-max(pairs_per_tile * n_tiles, 1) // PAIR_CHUNK) * PAIR_CHUNK
-    tiles, pwords, total, _overflow = _build_stream_clamped(
+    tiles, pwords, total, overflow = _build_stream_clamped(
         words, counts, p_cap, n_tiles)
 
     occ = jnp.zeros((n_tiles + 1, 1, tr), jnp.float32)
@@ -308,10 +318,15 @@ def any_hit_tiles_pairs(o_t, d_t, t_max_t, accel: ClusterAccel, words, counts,
     for tiles_c, words_c in _iter_chunks(tiles, pwords, counts, n_tiles,
                                          p_cap):
         occ = call(tiles_c, words_c, occ)
-    return occ[:n_tiles, 0, :] != 0
+    return occ[:n_tiles, 0, :] != 0, overflow
 
 
 def _build_stream_clamped(words, counts, p_cap, n_tiles):
+    # _iter_chunks' overlapping-window coverage guarantee requires every
+    # tile's candidate list to fit the window overlap (ADVICE r2).
+    assert words.shape[1] <= PAIR_CHUNK // 4, (
+        f"k_cap {words.shape[1]} > PAIR_CHUNK//4 {PAIR_CHUNK // 4}: "
+        "chunk windows could split a tile's pair run")
     return build_pair_stream(words, counts, p_cap)
 
 
@@ -353,10 +368,9 @@ def make_pair_tracers(scene, accel: ClusterAccel, k_cap: int = 256,
     def trace_fn(ray: Ray) -> Hit:
         o_t, d_t, tiling = tile_rays(ray.o, ray.d, tr)
         words, counts, _ = cull_clusters_sorted(accel, o_t, d_t, T_FAR, k)
-        bt, gid = trace_tiles_pairs(o_t, d_t, accel, words, counts,
-                                    t_min=t_min,
-                                    pairs_per_tile=pairs_per_tile,
-                                    interpret=interpret)
+        bt, gid, _overflow = trace_tiles_pairs(
+            o_t, d_t, accel, words, counts, t_min=t_min,
+            pairs_per_tile=pairs_per_tile, interpret=interpret)
         return recover_hit(scene, ray, untile(bt, tiling), untile(gid, tiling),
                            accel, t_min=t_min)
 
@@ -369,10 +383,9 @@ def make_pair_tracers(scene, accel: ClusterAccel, k_cap: int = 256,
             t_max_t, _, _ = tile_rays(tm3, tm3, tr)
             t_max_t = t_max_t[..., 0]
         words, counts, _ = cull_clusters_sorted(accel, o_t, d_t, t_max_t, k)
-        occ = any_hit_tiles_pairs(o_t, d_t, t_max_t, accel, words, counts,
-                                  t_min=t_min,
-                                  pairs_per_tile=pairs_per_tile,
-                                  interpret=interpret)
+        occ, _overflow = any_hit_tiles_pairs(
+            o_t, d_t, t_max_t, accel, words, counts, t_min=t_min,
+            pairs_per_tile=pairs_per_tile, interpret=interpret)
         return untile(occ, tiling)
 
     return trace_fn, occlude_fn
