@@ -12,6 +12,11 @@ from tracer.diff.edge import (
     soft_coverage,
     edge_heights,
 )
+from tracer.diff.edge_accel import (
+    render_diff_accel,
+    soft_any_hit_accel,
+    soft_coverage_accel,
+)
 from tracer.diff.fit import FitConfig, fit, init_params, latest_checkpoint
 
 __all__ = [
@@ -20,6 +25,9 @@ __all__ = [
     "soft_any_hit",
     "soft_coverage",
     "edge_heights",
+    "render_diff_accel",
+    "soft_any_hit_accel",
+    "soft_coverage_accel",
     "FitConfig",
     "fit",
     "init_params",

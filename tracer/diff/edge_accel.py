@@ -1,0 +1,203 @@
+"""Edge-aware visibility gradients on the cluster-accel tier (SURVEY.md T6;
+VERDICT r2 item 4b).
+
+tracer.diff.edge computes silhouette gradients against ALL triangles —
+O(R x T), the gradient-oracle tier. This module restricts the smooth edge
+terms to the K NEAREST candidate clusters of each ray tile (front-to-back
+sorted cull order), so the cost is O(R x K x C) and scales with the accel
+path instead of the scene size. The forward value stays the EXACT hard
+render (straight-through); only the backward pass sees the truncation,
+which drops silhouette terms of occluders farther than the K-th candidate
+cluster — the same locality assumption the traversal itself exploits.
+
+All accel inputs to the HARD path are stop-gradiented selection machinery;
+gradients flow through the smooth margins, which are recomputed from the
+accel's differentiable shade rows (v0/e1/e2 carry vertex gradients through
+bvh.cluster.build_clusters).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tracer.bvh.cluster import ClusterAccel
+from tracer.bvh.cull import cull_clusters_sorted, CLUSTER_BITS, WORD_INVALID
+from tracer.core.types import Ray, T_FAR, RAY_EPS, normalize
+from tracer.diff.edge import _straight_through
+from tracer.kernels.traversal import tile_rays, untile
+from tracer.render.whitted import WhittedConfig
+
+_CL_MASK = (1 << CLUSTER_BITS) - 1
+DEFAULT_EDGE_CLUSTERS = 2
+_TR = 64
+
+
+def _tile_candidates(accel: ClusterAccel, o_t, d_t, t_max_tile, k_edge: int):
+    """First k_edge front-to-back candidate clusters per tile (stop-grad
+    selection): (Nt, k_edge) int32 ids + (Nt, k_edge) valid mask."""
+    sg = jax.lax.stop_gradient
+    k = max(8, -(-min(64, accel.num_clusters) // 8) * 8)
+    words, counts, _ = cull_clusters_sorted(sg(accel), sg(o_t), sg(d_t),
+                                            t_max_tile, k)
+    w = words[:, :k_edge]
+    valid = w != WORD_INVALID
+    return jnp.where(valid, w & _CL_MASK, 0), valid
+
+
+def _candidate_margins(accel: ClusterAccel, o_t, d_t, cl_ids, cl_valid,
+                       t_min, eps=1e-12):
+    """Soft-edge ingredients vs the candidate clusters' triangles.
+
+    o_t, d_t: (Nt, TR, 3); cl_ids: (Nt, K). Returns (margin, t_plane,
+    valid) each (Nt, TR, K*C): world-space signed distance to the nearest
+    edge, raw plane-intersection t, and a triangle-validity mask.
+    """
+    c = accel.cluster_size
+    shade_by_cluster = accel.shade.reshape(accel.num_clusters, c, -1)
+    rows = shade_by_cluster[cl_ids.reshape(-1)]  # (Nt*K, C, SHADE_COLS)
+    n_t, k_e = cl_ids.shape
+    rows = rows.reshape(n_t, k_e * c, rows.shape[-1])
+    v0 = rows[..., 0:3]
+    e1 = rows[..., 3:6]
+    e2 = rows[..., 6:9]
+    tri_valid = (rows[..., 25] > 0.5) & jnp.repeat(cl_valid, c, axis=1)
+
+    o = o_t[:, :, None, :]  # (Nt, TR, 1, 3)
+    d = d_t[:, :, None, :]
+    v0b = v0[:, None]       # (Nt, 1, K*C, 3)
+    e1b = e1[:, None]
+    e2b = e2[:, None]
+    pvec = jnp.cross(d, e2b)
+    det = jnp.sum(e1b * pvec, axis=-1)
+    nondeg = jnp.abs(det) > eps
+    inv_det = jnp.where(nondeg, 1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+    tvec = o - v0b
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1b)
+    v = jnp.sum(d * qvec, axis=-1) * inv_det
+    t_plane = jnp.where(nondeg, jnp.sum(e2b * qvec, axis=-1) * inv_det, T_FAR)
+
+    # Edge heights from the packed edges: edges opposite (v0, v1, v2) are
+    # (e2-e1, e2, e1); h_k = 2A / |edge_k| converts barycentric margins to
+    # world distance.
+    twoA = jnp.linalg.norm(jnp.cross(e1, e2), axis=-1)  # (Nt, K*C)
+    l0 = jnp.linalg.norm(e2 - e1, axis=-1)
+    l1 = jnp.linalg.norm(e2, axis=-1)
+    l2 = jnp.linalg.norm(e1, axis=-1)
+    h0 = twoA / jnp.maximum(l0, 1e-20)
+    h1 = twoA / jnp.maximum(l1, 1e-20)
+    h2 = twoA / jnp.maximum(l2, 1e-20)
+    w_b = 1.0 - u - v
+    margin = jnp.minimum(jnp.minimum(w_b * h0[:, None], u * h1[:, None]),
+                         v * h2[:, None])
+    valid = tri_valid[:, None] & jnp.ones(margin.shape[:2] + (1,), bool)
+    return margin, t_plane, valid & nondeg
+
+
+def soft_any_hit_accel(ray: Ray, accel: ClusterAccel, hard_occ, t_max,
+                       edge_eps: float, k_edge: int = DEFAULT_EDGE_CLUSTERS,
+                       t_min: float = RAY_EPS):
+    """Accel-tier occlusion with edge-aware gradient.
+
+    `hard_occ` is the EXACT occlusion mask computed by any hard tier (brute,
+    jnp cluster, Pallas); this attaches the smooth-union backward built from
+    the K nearest candidate clusters. t_max: per-ray array (batch shape).
+    """
+    batch = ray.batch_shape
+    o_t, d_t, tiling = tile_rays(ray.o, ray.d, _TR)
+    tm3 = jnp.broadcast_to(t_max[..., None], t_max.shape + (3,))
+    tm_t, _, _ = tile_rays(tm3, tm3, _TR)
+    tm_t = tm_t[..., 0]
+    cl_ids, cl_valid = _tile_candidates(accel, o_t, d_t, tm_t, k_edge)
+    margin, t_plane, valid = _candidate_margins(accel, o_t, d_t, cl_ids,
+                                                cl_valid, t_min)
+    in_range = jax.lax.stop_gradient(
+        (t_plane > t_min) & (t_plane < tm_t[..., None]) & valid)
+    s = jax.nn.sigmoid(margin / edge_eps) * in_range
+    soft = 1.0 - jnp.prod(1.0 - s, axis=-1)  # (Nt, TR)
+    soft = untile(soft, tiling).reshape(batch)
+    return _straight_through(hard_occ, soft)
+
+
+def soft_coverage_accel(ray: Ray, accel: ClusterAccel, hard_hit,
+                        edge_eps: float,
+                        k_edge: int = DEFAULT_EDGE_CLUSTERS,
+                        t_min: float = RAY_EPS):
+    """Accel-tier primary-coverage alpha with edge-aware gradient."""
+    batch = ray.batch_shape
+    o_t, d_t, tiling = tile_rays(ray.o, ray.d, _TR)
+    cl_ids, cl_valid = _tile_candidates(accel, o_t, d_t, jnp.float32(T_FAR),
+                                        k_edge)
+    margin, t_plane, valid = _candidate_margins(accel, o_t, d_t, cl_ids,
+                                                cl_valid, t_min)
+    in_front = jax.lax.stop_gradient(
+        (t_plane > t_min) & (t_plane < T_FAR) & valid)
+    s = jax.nn.sigmoid(margin / edge_eps) * in_front
+    soft = 1.0 - jnp.prod(1.0 - s, axis=-1)
+    soft = untile(soft, tiling).reshape(batch)
+    return _straight_through(hard_hit, soft)
+
+
+def render_diff_accel(scene, ray: Ray, cfg: WhittedConfig, edge_eps: float = 1e-2,
+                      k_edge: int = DEFAULT_EDGE_CLUSTERS,
+                      cluster_size: int | None = None) -> jax.Array:
+    """Whitted integrator with accel-tier edge-aware visibility gradients.
+
+    Forward-identical to the hard render through the jnp cluster-accel
+    tracers; backward adds silhouette terms from the K nearest candidate
+    clusters for both shadow occlusion and primary coverage. Interior
+    gradients (shading/positions/albedo) flow through the accel's
+    differentiable shade rows exactly as in render/tiled.py.
+    """
+    from tracer.bvh.cluster import CLUSTER_SIZE, build_clusters
+    from tracer.kernels.traversal import make_accel_tracers
+    from tracer.render.whitted import shading_frame
+
+    accel = build_clusters(scene.verts, scene.tris,
+                           cluster_size or CLUSTER_SIZE, scene=scene)
+    trace_fn, occlude_fn = make_accel_tracers(scene, accel, use_pallas=False)
+
+    sky = jnp.asarray(cfg.sky_color, jnp.float32)
+    radiance = jnp.zeros(ray.batch_shape + (3,), jnp.float32)
+    throughput = jnp.ones(ray.batch_shape + (3,), jnp.float32)
+    live = jnp.ones(ray.batch_shape, bool)
+
+    for bounce in range(cfg.max_bounces):
+        hit = trace_fn(ray)
+        valid = hit.valid & live
+        p, n, mat = shading_frame(scene, ray, hit, cfg.smooth_shading)
+        albedo = scene.materials.albedo[mat]
+        emission = scene.materials.emission[mat]
+        mirror = scene.materials.mirror[mat][..., None]
+
+        direct = jnp.zeros_like(p)
+        for li in range(scene.lights.count):
+            lpos = scene.lights.position[li]
+            lint = scene.lights.intensity[li]
+            to_l = lpos - p
+            dist2 = jnp.sum(to_l * to_l, axis=-1)
+            dist = jnp.sqrt(jnp.maximum(dist2, 1e-20))
+            wi = to_l / dist[..., None]
+            cos = jnp.maximum(jnp.sum(n * wi, axis=-1), 0.0)
+            sray = Ray(o=p + n * RAY_EPS, d=wi)
+            t_max = dist - 2 * RAY_EPS
+            hard_occ = occlude_fn(sray, t_max)
+            occ = soft_any_hit_accel(sray, accel, hard_occ, t_max, edge_eps,
+                                     k_edge)
+            vis = (1.0 - occ) * valid
+            irr = (cos * vis / jnp.maximum(dist2, 1e-20))[..., None] * lint
+            direct = direct + albedo / jnp.pi * irr
+
+        local = emission + albedo * cfg.ambient + direct
+        alpha = soft_coverage_accel(ray, accel, hit.valid, edge_eps, k_edge)
+        alpha = jnp.where(live, alpha, 0.0)
+        surf = jnp.where(valid[..., None], local * (1.0 - mirror), 0.0)
+        radiance = radiance + throughput * (
+            alpha[..., None] * surf + ((live * (1.0 - alpha)))[..., None] * sky)
+
+        if bounce + 1 < cfg.max_bounces:
+            refl_d = ray.d - 2.0 * jnp.sum(ray.d * n, axis=-1, keepdims=True) * n
+            ray = Ray(o=p + n * RAY_EPS, d=normalize(refl_d))
+            throughput = throughput * mirror
+            live = valid & (mirror[..., 0] > 0.0)
+    return radiance
