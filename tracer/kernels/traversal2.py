@@ -69,11 +69,21 @@ def _products(o4, d4, w):
     return so, sd
 
 
-def _cluster_t(o4, d4, w, c, t_min, t_max_col):
-    """Intersect one tile against one cluster -> tv (TR, C): t or T_FAR."""
+def _cluster_t(o4, d4, w, c, t_min, t_max_col, *, approx: bool = False):
+    """Intersect one tile against one cluster -> tv (TR, C): t or T_FAR.
+
+    approx=True uses the VPU's approximate-reciprocal op instead of a
+    full divide. Measured on the 100k-tri bench it is ~15% SLOWER end to
+    end (Mosaic's divide lowering beats the where+mul+reciprocal chain),
+    so production passes keep approx=False; the flag remains for future
+    hardware where the trade flips."""
     so, sd = _products(o4, d4, w)
     den = sd[:, 0:c]
-    t = -so[:, 0:c] / jnp.where(den == 0.0, 1.0, den)
+    den_safe = jnp.where(den == 0.0, 1.0, den)
+    if approx:
+        t = -so[:, 0:c] * pl.reciprocal(den_safe, approx=True)
+    else:
+        t = -so[:, 0:c] / den_safe
     u = so[:, c:2 * c] + t * sd[:, c:2 * c]
     v = so[:, 2 * c:3 * c] + t * sd[:, 2 * c:3 * c]
     ok = ((jnp.minimum(jnp.minimum(u, v), 1.0 - u - v) >= 0.0)
@@ -116,9 +126,9 @@ def _slab_enter(rt, lo0, lo1, lo2, hi0, hi1, hi2):
     return jnp.where(ok, enter, _BIG)
 
 
-def _closest_kernel(k_cap, c, t_min, g_sz, batch, n_cl, words, counts, boxes,
+def _closest_kernel(k_cap, c, t_min, g_sz, batch, n_cl, approx, words, counts, boxes,
                     o4_ref, d4_ref, w_ref, bt_ref, bid_ref, btT_ref):
-    """Closest-hit kernel body.
+    """Closest-hit kernel body: per-tile while_loop, G tiles per grid step.
 
     Two nested batchings keep the scalar core out of the inner loop:
       * G tiles per grid step (static unroll) amortize per-step pipeline
@@ -129,6 +139,11 @@ def _closest_kernel(k_cap, c, t_min, g_sz, batch, n_cl, words, counts, boxes,
         bench scene, per-candidate `pl.when` predication + per-candidate
         bound updates cost more in VPU<->SMEM round trips than the dense
         (TR, 3C) intersection they occasionally skip.
+
+    Unlike the any-hit kernel, the early-out bound stays PER TILE: a
+    lockstep group variant was measured 30% slower here, because any tile
+    containing a miss ray pins its best-t at T_FAR and a group-coupled
+    bound then never terminates early for the other seven tiles.
     """
     i = pl.program_id(0)
     tr = o4_ref.shape[1]
@@ -147,8 +162,7 @@ def _closest_kernel(k_cap, c, t_min, g_sz, batch, n_cl, words, counts, boxes,
         # The early-out bound is carried as IEEE-754 *bits* of the per-tile
         # max best-t: Mosaic has no scalar bitcast, and for positive floats
         # the int32 bit pattern is order-isomorphic, so the comparison against
-        # the word's quantized-t high bits is a plain integer compare.
-        # Skipping when floor(t_lo_bits) >= bound_bits is conservative.
+        # the word's truncated-t high bits is a plain integer compare.
         def cond(carry, *, n=n, base=base):
             k, bound_bits = carry
             word = words[base + jnp.minimum(k, k_cap - 1)]
@@ -157,13 +171,13 @@ def _closest_kernel(k_cap, c, t_min, g_sz, batch, n_cl, words, counts, boxes,
         def body(carry, *, g=g, o4=o4, d4=d4, n=n, base=base):
             k, bound_bits = carry
             for j in range(batch):
-                # Clamped read: slots past the count replay the last valid
-                # word; their results are masked out below.
+                # Clamped read: slots past the count replay the last word;
+                # their results are masked out via `live`.
                 word = words[base + jnp.minimum(k + j, k_cap - 1)]
                 cl = jnp.minimum(word & _CL_MASK, n_cl - 1)
-                live = (k + j < n) & (word >= 0)
+                live = k + j < n
                 w = w_ref[cl]  # (8, 3C); rows 0:4 = affine map, 4:8 = pad
-                tv = _cluster_t(o4, d4, w, c, t_min, T_FAR)
+                tv = _cluster_t(o4, d4, w, c, t_min, T_FAR, approx=approx)
                 tv = jnp.where(live, tv, T_FAR)
                 tmin = jnp.min(tv, axis=-1, keepdims=True)  # (TR, 1)
                 slot = jnp.min(jnp.where(tv == tmin, slots, c), axis=-1,
@@ -178,51 +192,55 @@ def _closest_kernel(k_cap, c, t_min, g_sz, batch, n_cl, words, counts, boxes,
         jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(_T_FAR_BITS)))
 
 
-def _anyhit_kernel(k_cap, c, t_min, g_sz, batch, n_cl, words, counts, boxes,
+def _anyhit_kernel(k_cap, c, t_min, g_sz, batch, n_cl, approx, words, counts, boxes,
                    o4_ref, d4_ref, tmax_ref, w_ref, occ_ref, occC_ref):
-    """Occlusion kernel. Same G-tile x B-candidate batching as
-    _closest_kernel; occlusion accumulates in column layout (occC scratch,
-    (G, TR, 1)) and is written to the (G, 1, TR) row-layout output once per
-    tile. Early-out: once every ray is occluded (or the sorted entry-t
-    exceeds the live rays' max t_max), remaining candidates are skipped."""
+    """Occlusion kernel: LOCKSTEP tile groups (see _closest_kernel).
+    Occlusion accumulates in column layout (occC scratch, (G, TR, 1)) and is
+    written to the (G, 1, TR) row-layout output at the end. Early-out: once
+    every ray of the group is occluded (or the sorted entry-t exceeds the
+    unoccluded rays' max t_max), remaining candidates are skipped."""
     i = pl.program_id(0)
     tr = o4_ref.shape[1]
     occC_ref[:] = jnp.zeros(occC_ref.shape, jnp.float32)
+    base0 = i * g_sz
+    n_max = counts[base0]
 
-    for g in range(g_sz):
-        tile = i * g_sz + g
-        o4 = o4_ref[g]
-        d4 = d4_ref[g]
-        tmax_col = tmax_ref[g]  # (TR, 1)
-        n = counts[tile]
-        base = tile * k_cap
+    def bound_bits():
+        # Max t_max over the group's still-unoccluded rays: the sorted
+        # words' entry t can't beat it once exceeded; 0 once all occluded.
+        tm = jnp.where(occC_ref[:] > 0.0, 0.0, tmax_ref[:])
+        return jnp.max(jax.lax.bitcast_convert_type(tm, jnp.int32))
 
-        def bound_bits(*, g=g, tmax_col=tmax_col):
-            # Max t_max over still-unoccluded rays: the sorted words' entry t
-            # can't beat it once exceeded. Shrinks as rays get occluded.
-            tm = jnp.where(occC_ref[g] > 0.0, 0.0, tmax_col)
-            return jnp.max(jax.lax.bitcast_convert_type(tm, jnp.int32))
+    def cond(carry):
+        k, bound = carry
+        e = words[base0 * k_cap + jnp.minimum(k, k_cap - 1)] & ~_CL_MASK
+        for g in range(1, g_sz):
+            wd = words[(base0 + g) * k_cap + jnp.minimum(k, k_cap - 1)]
+            e = jnp.minimum(e, wd & ~_CL_MASK)
+        return (k < n_max) & (e < bound)
 
-        def cond(carry, *, n=n, base=base, bound_bits=bound_bits):
-            k = carry
-            word = words[base + jnp.minimum(k, k_cap - 1)]
-            return (k < n) & ((word & ~_CL_MASK) < bound_bits())
-
-        def body(carry, *, g=g, o4=o4, d4=d4, tmax_col=tmax_col,
-                 n=n, base=base):
-            k = carry
+    def body(carry):
+        k, _ = carry
+        for g in range(g_sz):
+            o4 = o4_ref[g]
+            d4 = d4_ref[g]
+            tmax_col = tmax_ref[g]  # (TR, 1)
+            base = (base0 + g) * k_cap
+            n = counts[base0 + g]
             for j in range(batch):
                 word = words[base + jnp.minimum(k + j, k_cap - 1)]
                 cl = jnp.minimum(word & _CL_MASK, n_cl - 1)
                 live = k + j < n
                 w = w_ref[cl]
-                tv = _cluster_t(o4, d4, w, c, t_min, tmax_col)
+                tv = _cluster_t(o4, d4, w, c, t_min, tmax_col,
+                                approx=approx)
                 hit_any = (jnp.min(tv, axis=-1, keepdims=True) < T_FAR) & live
                 occC_ref[g] = jnp.maximum(occC_ref[g],
                                           hit_any.astype(jnp.float32))
-            return k + batch
+        return k + batch, bound_bits()
 
-        jax.lax.while_loop(cond, body, jnp.int32(0))
+    jax.lax.while_loop(cond, body, (jnp.int32(0), bound_bits()))
+    for g in range(g_sz):
         occ_ref[g] = occC_ref[g].reshape(1, tr)
 
 
@@ -291,7 +309,7 @@ def trace_tiles_sorted(o_t, d_t, accel: ClusterAccel, words, counts,
         )
         return pl.pallas_call(
             functools.partial(_closest_kernel, k_cap, c, t_min, group, batch,
-                              accel.num_clusters),
+                              accel.num_clusters, False),
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((o4c.shape[0], tr, 1), jnp.float32),
@@ -329,6 +347,12 @@ def any_hit_tiles_sorted(o_t, d_t, t_max_t, accel: ClusterAccel, words, counts,
     # bound; they can never hit anyway (den == 0 -> miss).
     valid = jnp.any(d_t != 0.0, axis=-1)
     tmax3 = jnp.where(valid, t_max_t, 0.0)[..., None]
+    # Count-sort tiles for lockstep groups (see trace_tiles_sorted).
+    order = jnp.argsort(-counts).astype(jnp.int32)
+    inv = jnp.argsort(order).astype(jnp.int32)
+    o4, d4 = o4[order], d4[order]
+    tmax3 = tmax3[order]
+    words, counts = words[order], counts[order]
     w_all = _pad_w(accel.tri_w)
     boxes = _boxes(accel)
     ch, n_chunks = _chunk(n_tiles, k_cap, group)
@@ -348,7 +372,7 @@ def any_hit_tiles_sorted(o_t, d_t, t_max_t, accel: ClusterAccel, words, counts,
         )
         (occ,) = pl.pallas_call(
             functools.partial(_anyhit_kernel, k_cap, c, t_min, group, batch,
-                              accel.num_clusters),
+                              accel.num_clusters, False),
             grid_spec=grid_spec,
             out_shape=[jax.ShapeDtypeStruct((o4c.shape[0], 1, tr), jnp.float32)],
             interpret=interpret,
@@ -362,14 +386,14 @@ def any_hit_tiles_sorted(o_t, d_t, t_max_t, accel: ClusterAccel, words, counts,
     wordsc = _pad_tiles(words, n_pad)
     countsc = _pad_tiles(counts, n_pad)
     if n_chunks == 1:
-        return call(o4c, d4c, tmc, wordsc, countsc)[:n_tiles, 0, :] != 0
+        return call(o4c, d4c, tmc, wordsc, countsc)[:n_tiles, 0, :][inv] != 0
 
     occ = jax.lax.map(
         lambda a: call(*a),
         (o4c.reshape(n_chunks, ch, tr, 4), d4c.reshape(n_chunks, ch, tr, 4),
          tmc.reshape(n_chunks, ch, tr, 1),
          wordsc.reshape(n_chunks, ch, k_cap), countsc.reshape(n_chunks, ch)))
-    return occ[:, :, 0, :].reshape(n_pad, tr)[:n_tiles] != 0
+    return occ[:, :, 0, :].reshape(n_pad, tr)[:n_tiles][inv] != 0
 
 
 def recover_hit(scene, ray: Ray, bt, gid, accel: ClusterAccel, t_min=T_MIN) -> Hit:
