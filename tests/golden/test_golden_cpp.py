@@ -54,8 +54,12 @@ def test_hall256_pallas_interpret_matches_cpp_oracle():
     H = W = 256
     wcfg = WhittedConfig(max_bounces=2, smooth_shading=True)
     accel = build_scene_accel(scene)
-    img = np.asarray(render_tiled(scene, accel, camera, H, W, wcfg,
-                                  interpret=True))
+    img, aux = render_tiled(scene, accel, camera, H, W, wcfg,
+                            interpret=True, with_aux=True)
+    img = np.asarray(img)
+    # Nonzero overflow would mean the k-caps silently truncated geometry —
+    # goldens must fail on that, not mask it (VERDICT r2 item 9).
+    assert int(aux["overflow"]) == 0, f"cull overflow {int(aux['overflow'])}"
     ref = cpp_oracle.cpp_render(scene, camera, H, W, max_bounces=2,
                                 smooth_shading=True)
     assert img.max() > 0.05

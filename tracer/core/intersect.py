@@ -159,6 +159,12 @@ def intersect_brute(
     """All-rays x all-triangles brute force (BASELINE config 1: Cornell box,
     no BVH). Flattens the ray batch, runs the packed MXU path, reduces to the
     nearest hit, and restores the batch shape.
+
+    Differentiating through this function backpropagates the dense (R x T)
+    pass — fine under shard_map (the varying-axes machinery sees every op).
+    Single-device optimization loops should prefer tracer.diff.vjp's
+    make_replay_tracers: identical forward, O(R) custom-VJP backward via
+    saved-hit-id replay.
     """
     batch_shape = ray.batch_shape
     flat = Ray(o=ray.o.reshape(-1, 3), d=ray.d.reshape(-1, 3))

@@ -18,6 +18,7 @@ from tracer.diff.edge_accel import (
     soft_coverage_accel,
 )
 from tracer.diff.fit import FitConfig, fit, init_params, latest_checkpoint
+from tracer.diff.vjp import intersect_nearest, make_replay_tracers
 
 __all__ = [
     "render_diff",
@@ -32,4 +33,6 @@ __all__ = [
     "fit",
     "init_params",
     "latest_checkpoint",
+    "intersect_nearest",
+    "make_replay_tracers",
 ]

@@ -72,6 +72,13 @@ def make_loss_fn(scene: Scene, camera: Camera, target: jax.Array,
             from tracer.diff.edge import render_diff
 
             img = render_diff(s, rays, wcfg, edge_eps=fcfg.edge_eps)
+        elif not cfg.use_bvh:
+            # Brute tier with the custom-VJP saved-hit-id replay backward
+            # (O(R) instead of O(R x T); tracer.diff.vjp, SURVEY.md §3.2 D).
+            from tracer.diff.vjp import make_replay_tracers
+
+            trace_fn, occlude_fn = make_replay_tracers(s)
+            img = render_wavefront(s, rays, wcfg, trace_fn, occlude_fn)
         else:
             from tracer.api import build_tracers
 

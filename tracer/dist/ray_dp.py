@@ -100,8 +100,18 @@ def dryrun(devices) -> None:
     assert grads.shape == scene.verts.shape
     assert bool(jnp.isfinite(loss)), "non-finite loss in sharded grad step"
 
+    # Bucketed overlapped gradient all-reduce (T12).
+    from tracer.dist.grad_overlap import make_overlapped_grad_fn
+
+    bucketed = make_overlapped_grad_fn(cfg, mesh, n_buckets=2)
+    loss_b, grads_b = bucketed(scene, camera, target)
+    loss_b.block_until_ready()
+    assert bool(jnp.isfinite(loss_b))
+    assert grads_b.shape == scene.verts.shape
+
     # Sharded-geometry tier (T11): ring (rays on data x geom, geometry
-    # rotating over geom) and pmin-reduce variants on a 2D mesh.
+    # rotating over geom) and pmin-reduce variants on a 2D mesh, brute and
+    # cluster-accel per-shard tiers.
     if n % 2 == 0 and n >= 4:
         from tracer.dist.ring import make_ring_render_fn
 
@@ -111,3 +121,8 @@ def dryrun(devices) -> None:
             img2 = ring_run(scene, camera)
             img2.block_until_ready()
             assert img2.shape == (cfg.height, cfg.width, 3)
+        accel_run = make_ring_render_fn(scene, cfg, mesh2, use_ring=True,
+                                        use_accel=True)
+        img3 = accel_run(scene, camera)
+        img3.block_until_ready()
+        assert img3.shape == (cfg.height, cfg.width, 3)
