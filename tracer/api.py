@@ -205,11 +205,19 @@ def benchmark(config: str | RenderConfig | None = None, iters: int = 10,
         run(scene, camera).block_until_ready()
     from tracer.utils.metrics import profile_trace
 
+    # Pipelined throughput timing with a sync that cannot lie: frames are
+    # enqueued back to back (device executes them in order), then ONE
+    # scalar host readback of the LAST frame's checksum proves the whole
+    # batch finished. block_until_ready alone is not trusted here — on the
+    # remote-chip tunnel it was observed returning before execution for
+    # some programs (a full 1080p frame "timed" at 0.09 ms).
+    checksum = jax.jit(jnp.sum)
+    float(checksum(run(scene, camera)))  # sync point before t0
     with profile_trace(cfg.profile):
         t0 = time.perf_counter()
         for _ in range(iters):
             img = run(scene, camera)
-        img.block_until_ready()
+        float(checksum(img))
         dt = (time.perf_counter() - t0) / iters
     overflow = None
     if _use_tiled_path(scene, cfg):

@@ -131,10 +131,10 @@ def cull_clusters_sorted(accel, o: jax.Array, d: jax.Array, t_max, k_cap: int):
         o_lo[:, None], o_hi[:, None], d_lo[:, None], d_hi[:, None],
         accel.cluster_lo[None], accel.cluster_hi[None], t_max_tile,
     )  # (Ntiles, Ncl)
+    counts = jnp.sum(ok, axis=1).astype(jnp.int32)
     cluster_ids = jnp.arange(n_cl, dtype=jnp.int32)[None, :]
     words = pack_candidates(t_lo, cluster_ids, ok)
     words = jnp.sort(words, axis=1)
-    counts = jnp.sum(ok, axis=1).astype(jnp.int32)
     k = min(k_cap, n_cl)
     excess = jnp.sum(jnp.maximum(counts - k, 0))
     words = words[:, :k]
