@@ -131,3 +131,30 @@ def test_edge_accel_grad_matches_fd():
     assert abs(fd) > 1e-5
     assert np.sign(g) == np.sign(fd)
     assert abs(g - fd) <= 0.5 * abs(fd), f"edge-accel grad {g} vs FD {fd}"
+
+
+def test_tiled_path_camera_grads_match_fd():
+    """Camera-position gradients through the FULL tiled/Pallas pipeline
+    (interpret mode): selection is stop-gradiented in the kernel, but the
+    recompute path (generate_rays -> mt_from_edges -> shading) carries
+    exact interior camera gradients (render/tiled.py docstring)."""
+    import dataclasses as dc
+
+    from tracer.bvh import build_scene_accel
+    from tracer.render.tiled import render_tiled
+
+    scene = smooth_scene()
+    accel = build_scene_accel(scene)
+
+    def loss(theta):
+        cam = dc.replace(CAM, position=CAM.position + jnp.array([theta, 0.0, 0.0]))
+        img = render_tiled(scene, accel, cam, 16, 16,
+                           WCFG, interpret=True)
+        return jnp.mean(img)
+
+    g = float(jax.jit(jax.grad(loss))(0.0))
+    h = 1e-2
+    f = jax.jit(loss)
+    fd = (float(f(h)) - float(f(-h))) / (2 * h)
+    assert abs(fd) > 1e-7
+    np.testing.assert_allclose(g, fd, rtol=3e-2, atol=2e-5)

@@ -44,8 +44,14 @@ def moller_trumbore(
     t_min: float = 1e-4,
     t_max: float = T_FAR,
     eps: float = 1e-12,
+    bary_eps: float = 0.0,
 ):
     """Classic Moller-Trumbore, broadcasting over any leading batch dims.
+
+    `bary_eps` relaxes the barycentric inclusion bounds — used by hit
+    RECOVERY paths that must not re-adjudicate a selection made by the
+    (fp-differently-rounded) affine-map formulation (see
+    render.tiled.mt_from_edges).
 
     Kept as the readable jnp reference implementation (CPU path / oracle for
     the packed-matmul path below). Returns (t, u, v, hit_mask); t == T_FAR on
@@ -64,9 +70,9 @@ def moller_trumbore(
     t = jnp.sum(e2 * qvec, axis=-1) * inv_det
     hit = (
         (jnp.abs(det) > eps)
-        & (u >= 0.0)
-        & (v >= 0.0)
-        & (u + v <= 1.0)
+        & (u >= -bary_eps)
+        & (v >= -bary_eps)
+        & (u + v <= 1.0 + bary_eps)
         & (t > t_min)
         & (t < t_max)
     )

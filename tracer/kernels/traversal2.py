@@ -408,7 +408,10 @@ def recover_hit(scene, ray: Ray, bt, gid, accel: ClusterAccel, t_min=T_MIN) -> H
     v0 = scene.verts[idx[..., 0]]
     v1 = scene.verts[idx[..., 1]]
     v2 = scene.verts[idx[..., 2]]
-    t, u, v, hitm = moller_trumbore(ray.o, ray.d, v0, v1, v2, t_min=t_min)
+    # Relaxed barycentric bounds: recovery must not veto the kernel's
+    # affine-formulation selection over fp rounding (see mt_from_edges).
+    t, u, v, hitm = moller_trumbore(ray.o, ray.d, v0, v1, v2, t_min=t_min,
+                                    bary_eps=1e-5)
     valid = valid & hitm
     uv = jnp.stack([u, v], axis=-1)
     return Hit(

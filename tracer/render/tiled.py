@@ -34,9 +34,17 @@ from tracer.kernels.traversal2 import (
 from tracer.render.whitted import WhittedConfig
 
 
-def mt_from_edges(o, d, v0, e1, e2, t_min=T_MIN, eps=1e-12):
+def mt_from_edges(o, d, v0, e1, e2, t_min=T_MIN, eps=1e-12, bary_eps=1e-5):
     """Moller-Trumbore given (v0, e1, e2) rows — the differentiable hit
-    recompute for the shade-table path. Returns (t, u, v, hit)."""
+    recompute for the shade-table path. Returns (t, u, v, hit).
+
+    `bary_eps` relaxes the barycentric bounds: the KERNEL (affine-map
+    formulation) already adjudicated the hit; this recompute only recovers
+    (t, u, v) and must not veto it over formulation-level fp differences.
+    Without the slack, rays through a quad's shared diagonal can be
+    selected by the kernel (u >= 0 in affine arithmetic) yet recompute to
+    u ~ -5e-8 classically, leaving a black pixel (measured: 9/256 pixels
+    on a 2-triangle plane, camera-position dependent)."""
     pvec = jnp.cross(d, e2)
     det = jnp.sum(e1 * pvec, axis=-1)
     inv = jnp.where(jnp.abs(det) > eps, 1.0 / jnp.where(det == 0, 1.0, det), 0.0)
@@ -45,8 +53,8 @@ def mt_from_edges(o, d, v0, e1, e2, t_min=T_MIN, eps=1e-12):
     qvec = jnp.cross(tvec, e1)
     v = jnp.sum(d * qvec, axis=-1) * inv
     t = jnp.sum(e2 * qvec, axis=-1) * inv
-    hit = ((jnp.abs(det) > eps) & (u >= 0.0) & (v >= 0.0)
-           & (u + v <= 1.0) & (t > t_min))
+    hit = ((jnp.abs(det) > eps) & (u >= -bary_eps) & (v >= -bary_eps)
+           & (u + v <= 1.0 + bary_eps) & (t > t_min))
     return t, u, v, hit
 
 
