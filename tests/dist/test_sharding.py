@@ -79,7 +79,9 @@ def test_geometry_sharding_accel_tier_matches(scene_cam, reference_image,
 
 def test_ring_accel_100k_smoke():
     """>=100k-tri scene through the accel ring on the CPU mesh (tiny image):
-    completes and produces finite, lit output."""
+    completes, produces finite lit output, and drops ZERO cull candidates
+    (the accel tier surfaces its k-cap overflow instead of truncating —
+    VERDICT r3 weak #3)."""
     from tracer.scene.procedural import bench_scene
     from tracer.core.camera import Camera
 
@@ -88,10 +90,22 @@ def test_ring_accel_100k_smoke():
     assert scene.num_tris >= 100_000
     cfg = load_config("cornell256", height=32, width=64, max_bounces=1)
     mesh = make_render_mesh(jax.devices(), data=2, geom=4)
-    run = make_ring_render_fn(scene, cfg, mesh, use_ring=True)  # auto-accel
-    img = np.asarray(run(scene, camera))
+    # Uncapped (k_cap=None): every cull survivor is intersected -> exact.
+    run = make_ring_render_fn(scene, cfg, mesh, use_ring=True,  # auto-accel
+                              with_aux=True, k_cap=None)
+    img, aux = run(scene, camera)
+    img = np.asarray(img)
     assert np.isfinite(img).all()
     assert img.max() > 0.01
+    assert int(aux["overflow"]) == 0, "ring accel tier dropped cull candidates"
+
+    # Regression for the surfacing itself: a cap this scene is known to
+    # exceed (the 32-tile image sees most of each shard's ~200 clusters)
+    # must REPORT its truncation, not hide it (VERDICT r3 weak #3).
+    capped = make_ring_render_fn(scene, cfg, mesh, use_ring=True,
+                                 with_aux=True, k_cap=64)
+    _, aux_capped = capped(scene, camera)
+    assert int(aux_capped["overflow"]) > 0
 
 
 def test_sharded_grad_matches_local(scene_cam):

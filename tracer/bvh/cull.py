@@ -150,7 +150,9 @@ def cull_clusters(accel, o: jax.Array, d: jax.Array, t_max, k_cap: int):
     o, d: (Ntiles, TR, 3). t_max: scalar or (Ntiles, TR) per-ray upper bound.
     Returns (cand (Ntiles, k_cap) int32 candidate cluster ids — padded by
     repeating the last valid id for DMA elision —, counts (Ntiles,) int32,
-    overflow () bool).
+    excess () int32 — the TOTAL number of candidates dropped by the k_cap
+    truncation; nonzero means geometry was silently skipped and callers
+    must surface it, same contract as cull_clusters_sorted).
     """
     n_cl = accel.num_clusters
     o_lo, o_hi, d_lo, d_hi = tile_bounds(o, d)
@@ -186,5 +188,5 @@ def cull_clusters(accel, o: jax.Array, d: jax.Array, t_max, k_cap: int):
     last_valid = jnp.maximum(counts - 1, 0)[:, None]
     cand = jnp.where(slot < jnp.maximum(counts, 1)[:, None], cand,
                      jnp.take_along_axis(cand, last_valid, axis=1))
-    overflow = jnp.any(counts > k)
-    return cand, counts, overflow
+    excess = jnp.sum(jnp.maximum(counts - k, 0))
+    return cand, counts, excess

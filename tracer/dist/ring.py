@@ -180,25 +180,31 @@ _RING_K_CAP = 64
 _RING_TR = 64
 
 
-def accel_trace_rows(o, d, accel, t_min=RAY_EPS, t_max=T_FAR):
-    """Shard-local nearest hit via the cluster accel: (t (R,), row (R, C))."""
+def accel_trace_rows(o, d, accel, t_min=RAY_EPS, t_max=T_FAR,
+                     k_cap: int | None = _RING_K_CAP):
+    """Shard-local nearest hit via the cluster accel:
+    (t (R,), row (R, C), excess () int32 — cull candidates dropped by the
+    k-cap; nonzero means this shard silently skipped geometry and the
+    caller must surface it (VERDICT r3 weak #3)). k_cap=None disables the
+    cap (exact: every surviving candidate is intersected)."""
     from tracer.bvh.cull import cull_clusters
     from tracer.kernels import tile_rays, trace_tiles_jnp, untile
 
     o_t, d_t, tiling = tile_rays(o, d, _RING_TR)
-    k = min(_RING_K_CAP, accel.num_clusters)
-    cand, counts, _ = cull_clusters(accel, o_t, d_t, t_max, k)
+    k = accel.num_clusters if k_cap is None else min(k_cap, accel.num_clusters)
+    cand, counts, excess = cull_clusters(accel, o_t, d_t, t_max, k)
     bt, bslot, _, _ = trace_tiles_jnp(o_t, d_t, accel, cand, counts,
                                       t_min=t_min)
     t = untile(bt, tiling)
     slot = untile(bslot, tiling)
     row = accel.shade[jnp.maximum(slot, 0)]
     row = jnp.where((slot >= 0)[:, None], row, 0.0)
-    return jnp.where(slot >= 0, t, T_FAR), row
+    return jnp.where(slot >= 0, t, T_FAR), row, excess
 
 
-def accel_any_hit(o, d, accel, t_max, t_min=RAY_EPS):
-    """Shard-local occlusion via the cluster accel: (R,) bool."""
+def accel_any_hit(o, d, accel, t_max, t_min=RAY_EPS,
+                  k_cap: int | None = _RING_K_CAP):
+    """Shard-local occlusion via the cluster accel: ((R,) bool, excess)."""
     from tracer.bvh.cull import cull_clusters
     from tracer.kernels import any_hit_tiles_jnp, tile_rays, untile
 
@@ -207,10 +213,10 @@ def accel_any_hit(o, d, accel, t_max, t_min=RAY_EPS):
     tm3 = jnp.broadcast_to(tm[:, None], tm.shape + (3,))
     tm_t, _, _ = tile_rays(tm3, tm3, _RING_TR)
     tm_t = tm_t[..., 0]
-    k = min(_RING_K_CAP, accel.num_clusters)
-    cand, counts, _ = cull_clusters(accel, o_t, d_t, tm_t, k)
+    k = accel.num_clusters if k_cap is None else min(k_cap, accel.num_clusters)
+    cand, counts, excess = cull_clusters(accel, o_t, d_t, tm_t, k)
     occ = any_hit_tiles_jnp(o_t, d_t, tm_t, accel, cand, counts, t_min=t_min)
-    return untile(occ, tiling)
+    return untile(occ, tiling), excess
 
 
 def _tree_ppermute(tree, axis_name, perm):
@@ -220,17 +226,20 @@ def _tree_ppermute(tree, axis_name, perm):
 
 def _rows_trace_local(o, d, rows, t_min, t_max):
     t_pairs = _rows_hit(o, d, rows, t_min, t_max)
-    return _nearest_row(t_pairs, rows)
+    t_best, row_best = _nearest_row(t_pairs, rows)
+    return t_best, row_best, jnp.int32(0)  # brute tier: exact, no k-cap
 
 
 def _rows_any_local(o, d, rows, t_min, tm):
     t_pairs = _rows_hit(o, d, rows, t_min, tm[:, None])
-    return jnp.any(t_pairs < T_FAR, axis=-1)
+    return jnp.any(t_pairs < T_FAR, axis=-1), jnp.int32(0)
 
 
 def _ring_closest(o, d, local, local_trace, row_cols, axis_name):
     """Generic ring pass: `local` (rows block OR accel pytree) rotates via
-    ppermute; rays + running nearest-hit state stay put."""
+    ppermute; rays + running nearest-hit state stay put. Returns
+    (t_best, row_best, excess) with excess summed over the ring steps
+    (per-device; callers psum it over shards for the global count)."""
     g = jax.lax.axis_size(axis_name)
     perm = [(i, (i + 1) % g) for i in range(g)]
 
@@ -240,14 +249,16 @@ def _ring_closest(o, d, local, local_trace, row_cols, axis_name):
     cur = local
     t_best = jnp.full(o.shape[:1], T_FAR, o.dtype)
     row_best = jnp.zeros((o.shape[0], row_cols), o.dtype)
+    excess = jnp.int32(0)
     for step in range(g):
-        t_new, row_new = local_trace(o, d, cur)
+        t_new, row_new, exc = local_trace(o, d, cur)
+        excess = excess + exc
         better = t_new < t_best
         t_best = jnp.where(better, t_new, t_best)
         row_best = jnp.where(better[:, None], row_new, row_best)
         if step + 1 < g:
             cur = _tree_ppermute(cur, axis_name, perm)
-    return t_best, row_best
+    return t_best, row_best, excess
 
 
 def _ring_any(o, d, local, local_any, axis_name):
@@ -255,11 +266,14 @@ def _ring_any(o, d, local, local_any, axis_name):
     perm = [(i, (i + 1) % g) for i in range(g)]
     cur = local
     occ = jnp.zeros(o.shape[:1], bool)
+    excess = jnp.int32(0)
     for step in range(g):
-        occ = occ | local_any(o, d, cur)
+        occ_new, exc = local_any(o, d, cur)
+        occ = occ | occ_new
+        excess = excess + exc
         if step + 1 < g:
             cur = _tree_ppermute(cur, axis_name, perm)
-    return occ
+    return occ, excess
 
 
 def ring_trace_rows(o, d, rows_local, t_min=RAY_EPS, t_max=T_FAR,
@@ -268,7 +282,7 @@ def ring_trace_rows(o, d, rows_local, t_min=RAY_EPS, t_max=T_FAR,
     ALL geometry shards. Geometry rotates (ppermute); rays stay.
 
     o, d: (R, 3) local rays. rows_local: (T_shard, ROW_COLS) local block.
-    Returns (t_best (R,), row_best (R, ROW_COLS)).
+    Returns (t_best (R,), row_best (R, ROW_COLS), excess () int32).
     """
     return _ring_closest(
         o, d, rows_local,
@@ -277,19 +291,21 @@ def ring_trace_rows(o, d, rows_local, t_min=RAY_EPS, t_max=T_FAR,
 
 
 def ring_trace_accel(o, d, accel_local, t_min=RAY_EPS, t_max=T_FAR,
-                     axis_name: str = GEOM_AXIS):
+                     axis_name: str = GEOM_AXIS,
+                     k_cap: int | None = _RING_K_CAP):
     """Ring pass with the shard-local cluster accel rotating instead of raw
     rows (same comm structure; per-shard cost drops to candidates x C)."""
     return _ring_closest(
         o, d, accel_local,
-        lambda o_, d_, a: accel_trace_rows(o_, d_, a, t_min, t_max),
+        lambda o_, d_, a: accel_trace_rows(o_, d_, a, t_min, t_max, k_cap),
         accel_local.shade.shape[-1], axis_name)
 
 
 def ring_any_hit(o, d, rows_local, t_max, t_min=RAY_EPS,
                  axis_name: str = GEOM_AXIS):
-    """Inside-shard_map ring occlusion: True where any shard's geometry
-    blocks the ray within (t_min, t_max). t_max: (R,) or scalar."""
+    """Inside-shard_map ring occlusion: (occ (R,) bool, excess () int32);
+    occ True where any shard's geometry blocks the ray within
+    (t_min, t_max). t_max: (R,) or scalar."""
     tm = t_max if jnp.ndim(t_max) else jnp.full(o.shape[:1], t_max, o.dtype)
     return _ring_any(
         o, d, rows_local,
@@ -298,11 +314,12 @@ def ring_any_hit(o, d, rows_local, t_max, t_min=RAY_EPS,
 
 
 def ring_any_hit_accel(o, d, accel_local, t_max, t_min=RAY_EPS,
-                       axis_name: str = GEOM_AXIS):
+                       axis_name: str = GEOM_AXIS,
+                       k_cap: int | None = _RING_K_CAP):
     tm = t_max if jnp.ndim(t_max) else jnp.full(o.shape[:1], t_max, o.dtype)
     return _ring_any(
         o, d, accel_local,
-        lambda o_, d_, a: accel_any_hit(o_, d_, a, tm, t_min),
+        lambda o_, d_, a: accel_any_hit(o_, d_, a, tm, t_min, k_cap),
         axis_name)
 
 
@@ -313,7 +330,7 @@ def reduce_any_hit(o, d, rows_local, t_max, t_min=RAY_EPS,
     tm = t_max if jnp.ndim(t_max) else jnp.full(o.shape[:1], t_max, o.dtype)
     t_pairs = _rows_hit(o, d, rows_local, t_min, tm[:, None])
     occ = jnp.any(t_pairs < T_FAR, axis=-1)
-    return jax.lax.psum(occ.astype(jnp.int32), axis_name) > 0
+    return jax.lax.psum(occ.astype(jnp.int32), axis_name) > 0, jnp.int32(0)
 
 
 def _reduce_merge(t_loc, row_loc, axis_name):
@@ -335,19 +352,24 @@ def reduce_trace_rows(o, d, rows_local, t_min=RAY_EPS, t_max=T_FAR,
     cross-shard nearest-hit reduction."""
     t_pairs = _rows_hit(o, d, rows_local, t_min, t_max)
     t_loc, row_loc = _nearest_row(t_pairs, rows_local)
-    return _reduce_merge(t_loc, row_loc, axis_name)
+    t_best, row_best = _reduce_merge(t_loc, row_loc, axis_name)
+    return t_best, row_best, jnp.int32(0)
 
 
 def reduce_trace_accel(o, d, accel_local, t_min=RAY_EPS, t_max=T_FAR,
-                       axis_name: str = GEOM_AXIS):
-    t_loc, row_loc = accel_trace_rows(o, d, accel_local, t_min, t_max)
-    return _reduce_merge(t_loc, row_loc, axis_name)
+                       axis_name: str = GEOM_AXIS,
+                       k_cap: int | None = _RING_K_CAP):
+    t_loc, row_loc, excess = accel_trace_rows(o, d, accel_local, t_min, t_max,
+                                              k_cap)
+    t_best, row_best = _reduce_merge(t_loc, row_loc, axis_name)
+    return t_best, row_best, excess
 
 
 def reduce_any_hit_accel(o, d, accel_local, t_max, t_min=RAY_EPS,
-                         axis_name: str = GEOM_AXIS):
-    occ = accel_any_hit(o, d, accel_local, t_max, t_min)
-    return jax.lax.psum(occ.astype(jnp.int32), axis_name) > 0
+                         axis_name: str = GEOM_AXIS,
+                         k_cap: int | None = _RING_K_CAP):
+    occ, excess = accel_any_hit(o, d, accel_local, t_max, t_min, k_cap)
+    return jax.lax.psum(occ.astype(jnp.int32), axis_name) > 0, excess
 
 
 def _shade_rows(lights_pos, lights_int, o, d, t, rows, occluder,
@@ -355,7 +377,8 @@ def _shade_rows(lights_pos, lights_int, o, d, t, rows, occluder,
     """Shade a wavefront from hit rows (shared with the tiled integrator's
     shading model; see render/tiled.py). Light arrays are explicit arguments
     (NOT a captured scene) so callers that re-run with updated lights shade
-    with the new data."""
+    with the new data. `occluder(o, wi, t_max) -> (occ, excess)`; the summed
+    excess is returned so the caller can surface shadow-pass cull overflow."""
     found = (t < T_FAR) & (rows[:, 25] > 0.5)
     p = o + t[:, None] * d
     e1 = rows[:, 3:6]
@@ -377,6 +400,7 @@ def _shade_rows(lights_pos, lights_int, o, d, t, rows, occluder,
     mirror = rows[:, 24:25]
 
     direct = jnp.zeros_like(p)
+    excess = jnp.int32(0)
     for li in range(lights_pos.shape[0]):
         lpos = lights_pos[li]
         lint = lights_int[li]
@@ -385,18 +409,24 @@ def _shade_rows(lights_pos, lights_int, o, d, t, rows, occluder,
         dist = jnp.sqrt(jnp.maximum(dist2, 1e-20))
         wi = to_l / dist[:, None]
         cos = jnp.maximum(jnp.sum(n * wi, axis=-1), 0.0)
-        occ = occluder(p + n * RAY_EPS, wi, dist - 2 * RAY_EPS)
+        occ, exc = occluder(p + n * RAY_EPS, wi, dist - 2 * RAY_EPS)
+        excess = excess + exc
         vis = jnp.where(occ | ~found, 0.0, 1.0)
         irr = (cos * vis / jnp.maximum(dist2, 1e-20))[:, None] * lint
         direct = direct + albedo / jnp.pi * irr
 
     local = emission + albedo * cfg.ambient + direct
-    return found, p, n, mirror, local
+    return found, p, n, mirror, local, excess
 
 
 def make_ring_render_fn(scene: Scene, cfg, mesh: jax.sharding.Mesh,
-                        use_ring: bool = True, use_accel: bool | None = None):
-    """Jitted (scene, camera) -> (H, W, 3) with geometry sharded over 'geom'.
+                        use_ring: bool = True, use_accel: bool | None = None,
+                        with_aux: bool = False,
+                        k_cap: int | None = _RING_K_CAP):
+    """Jitted (scene, camera) -> (H, W, 3) with geometry sharded over 'geom';
+    with_aux=True returns ((H, W, 3), {'overflow': int32}) where overflow is
+    the global (psum over the whole mesh) count of cull candidates dropped
+    by the accel tier's _RING_K_CAP — 0 means the sharded render was exact.
 
     Ray placement differs per variant:
       * ring (use_ring=True): rays are sharded over BOTH mesh axes
@@ -437,12 +467,18 @@ def make_ring_render_fn(scene: Scene, cfg, mesh: jax.sharding.Mesh,
         else:
             trace = reduce_trace_accel if use_accel else reduce_trace_rows
             any_fn = reduce_any_hit_accel if use_accel else reduce_any_hit
+        if use_accel:
+            trace = partial(trace, k_cap=k_cap)
+            any_fn = partial(any_fn, k_cap=k_cap)
         occluder = lambda so, sd, tmax: any_fn(so, sd, local, tmax)
 
+        excess = jnp.int32(0)
         for bounce in range(wcfg.max_bounces):
-            t, rows = trace(o, d, local)
-            found, p, n, mirror, local_rad = _shade_rows(
+            t, rows, exc = trace(o, d, local)
+            excess = excess + exc
+            found, p, n, mirror, local_rad, sh_exc = _shade_rows(
                 lights_pos, lights_int, o, d, t, rows, occluder, wcfg)
+            excess = excess + sh_exc
             valid = found & live
             miss = jnp.where((live & ~found)[:, None], sky, 0.0)
             surf = jnp.where(valid[:, None], local_rad * (1.0 - mirror), 0.0)
@@ -453,24 +489,30 @@ def make_ring_render_fn(scene: Scene, cfg, mesh: jax.sharding.Mesh,
                 d = normalize(refl)
                 throughput = throughput * mirror
                 live = valid & (mirror[:, 0] > 0.0)
-        return radiance
+        # Global overflow: sum the per-device counts over the whole mesh
+        # (every (data, geom) device did distinct cull work in both modes).
+        excess = jax.lax.psum(jax.lax.psum(excess, DATA_AXIS), GEOM_AXIS)
+        return radiance, excess
 
     shard_body = jax.shard_map(
         body, mesh=mesh,
         in_specs=(ray_spec, ray_spec, P(GEOM_AXIS), P(), P()),
-        out_specs=ray_spec,
+        out_specs=(ray_spec, P()),
     )
 
     @jax.jit
-    def run(scene: Scene, camera: Camera) -> jax.Array:
+    def run(scene: Scene, camera: Camera):
         rows = pad_rows_to_shards(pack_tri_rows(scene), g)
         shards = rows.reshape(g, -1, rows.shape[1])
         local = jax.vmap(build_rows_accel)(shards) if use_accel else shards
         rays = generate_rays(camera, H, W)
         o = rays.o.reshape(-1, 3)
         d = rays.d.reshape(-1, 3)
-        img = shard_body(o, d, local, scene.lights.position,
-                         scene.lights.intensity)
-        return img.reshape(H, W, 3)
+        img, excess = shard_body(o, d, local, scene.lights.position,
+                                 scene.lights.intensity)
+        img = img.reshape(H, W, 3)
+        if with_aux:
+            return img, {"overflow": excess}
+        return img
 
     return run

@@ -500,7 +500,7 @@ def make_accel_tracers(scene, accel: ClusterAccel, use_pallas: bool = False,
         if not _callbacks_ok:
             return
         jax.lax.cond(
-            flag,
+            flag != 0,
             lambda: jax.debug.print(
                 "WARNING: tracer {} work-list overflow — image may be incomplete; "
                 "raise work_items_per_tile/k_cap", what),
