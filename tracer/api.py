@@ -176,6 +176,15 @@ def make_grad_step_fn(cfg: RenderConfig, optimizer):
     return step
 
 
+# Compiled-step cache for the grad_step convenience wrapper: without it a
+# Python loop over grad_step would rebuild a fresh @jax.jit closure (and
+# recompile the full render+backward graph) every iteration. Keyed on the
+# frozen config + optimizer identity (optax transforms are NamedTuples of
+# functions — hashable). Loops should still prefer make_grad_step_fn.
+_GRAD_STEP_CACHE: dict = {}
+_DEFAULT_ADAM = None
+
+
 def grad_step(scene: Scene, camera: Camera, target: jax.Array, cfg: RenderConfig,
               optimizer=None, opt_state=None, params=None):
     """One optimization step (convenience wrapper over make_grad_step_fn).
@@ -183,13 +192,19 @@ def grad_step(scene: Scene, camera: Camera, target: jax.Array, cfg: RenderConfig
     Returns (loss, new_params, new_opt_state)."""
     import optax
 
+    global _DEFAULT_ADAM
     if params is None:
         params = {"verts": scene.verts}
     if optimizer is None:
-        optimizer = optax.adam(1e-3)
+        if _DEFAULT_ADAM is None:
+            _DEFAULT_ADAM = optax.adam(1e-3)
+        optimizer = _DEFAULT_ADAM
     if opt_state is None:
         opt_state = optimizer.init(params)
-    step = make_grad_step_fn(cfg, optimizer)
+    key = (cfg, optimizer)
+    step = _GRAD_STEP_CACHE.get(key)
+    if step is None:
+        step = _GRAD_STEP_CACHE[key] = make_grad_step_fn(cfg, optimizer)
     return step(scene, camera, target, params, opt_state)
 
 

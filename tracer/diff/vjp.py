@@ -48,9 +48,14 @@ def _fwd(o, d, verts, tris, t_min, t_max):
 
 def _replay(o_r, d_r, v0, v1, v2, valid, t_min, t_max):
     """Single-triangle Moller-Trumbore replay for one ray (vmapped).
-    Masked invalid (miss) rays contribute exactly zero gradient."""
+    Masked invalid (miss) rays contribute exactly zero gradient.
+
+    bary_eps mirrors mt_from_edges (render/tiled.py): the forward pass
+    already adjudicated the hit; for rays through a shared edge the saved
+    winning triangle can recompute to u ~ -5e-8 classically, and without
+    the slack the replay would silently zero that ray's gradient."""
     t, u, v, hit = moller_trumbore(o_r, d_r, v0, v1, v2,
-                                   t_min=t_min, t_max=t_max)
+                                   t_min=t_min, t_max=t_max, bary_eps=1e-5)
     ok = hit & valid
     t = jnp.where(ok, t, T_FAR)
     uv = jnp.where(ok, jnp.stack([u, v]), 0.0)

@@ -44,14 +44,21 @@ def _load() -> ctypes.CDLL:
     try:
         if not os.path.exists(_SRC):
             raise OracleUnavailable(f"missing {_SRC}")
+        # The .so is NOT committed (built with -march=native, so a binary
+        # from another machine could SIGILL at call time); it is built on
+        # demand and rebuilt whenever the source is newer or dlopen fails.
         if (not os.path.exists(_LIB)
                 or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
             _build()
-        lib = ctypes.CDLL(_LIB)
+        try:
+            lib = ctypes.CDLL(_LIB)
+        except OSError:
+            _build()  # stale/foreign binary: rebuild once, then retry
+            lib = ctypes.CDLL(_LIB)
     except OracleUnavailable as e:
         _build_error = str(e)
         raise
-    except OSError as e:  # dlopen failure
+    except OSError as e:  # dlopen failure after rebuild
         _build_error = str(e)
         raise OracleUnavailable(str(e))
 

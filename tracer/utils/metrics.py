@@ -22,18 +22,23 @@ def is_host0() -> bool:
 
 
 class MetricsLogger:
-    """Append-only JSONL metrics writer; silent no-op off host 0."""
+    """Append-only JSONL metrics writer; silent no-op off host 0.
 
-    def __init__(self, path: str | None, host0_only: bool = True):
+    append=True keeps the existing file (resumed runs must not erase the
+    earlier steps' history); the default truncates for one-file-per-run."""
+
+    def __init__(self, path: str | None, host0_only: bool = True,
+                 append: bool = False):
         self._path = path
         self._enabled = bool(path) and (not host0_only or is_host0())
         self._t0 = time.time()
         if self._enabled:
             d = os.path.dirname(os.path.abspath(path))
             os.makedirs(d, exist_ok=True)
-            # Truncate: one file per run.
-            with open(path, "w"):
-                pass
+            if not append:
+                # Truncate: one file per run.
+                with open(path, "w"):
+                    pass
 
     def log(self, **fields) -> None:
         if not self._enabled:
