@@ -55,6 +55,13 @@ def main() -> int:
     preset = os.environ.get("BENCH_PRESET", "bench100k")
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     result = benchmark(preset, iters=iters)
+    if result["overflow"] is not None and result["overflow"] != 0:
+        # A throughput number on truncated geometry is not a result
+        # (VERDICT r3 weak #2): the cap auto-sizing should make this
+        # impossible for the static bench camera — treat it as a failure.
+        print(json.dumps({"error": "bench frame dropped cull candidates",
+                          "overflow": int(result["overflow"])}))
+        return 1
     detail = {
         "ms_per_frame": round(result["ms_per_frame"], 3),
         "num_tris": int(result["num_tris"]),

@@ -112,3 +112,44 @@ def test_kill_mid_run_then_resume(tmp_path):
     assert np.isfinite(losses).all()
     new_step, _ = latest_checkpoint(ck)
     assert new_step == killed_at + 3
+
+
+def test_fit_edge_accel_recovers_occluder():
+    """fit(edge_aware=True) on a use_bvh config dispatches to the accel
+    edge tier (diff.edge_accel) and solves an occluder-recovery problem
+    that interior-only gradients provably cannot: the occluder sits
+    outside the frustum, so it affects the image only through the boolean
+    shadow test — the naive (edge_aware=False) fit leaves it exactly in
+    place, the edge-aware fit moves it toward the target."""
+    import dataclasses as dc
+
+    from tests.grad.test_edge import CAM, occluder_scene
+    from tracer.render.whitted import WhittedConfig, render_wavefront
+    from tracer.core.camera import generate_rays
+
+    cfg = load_config("bunny-grad", height=64, width=64)
+    assert cfg.use_bvh
+    dx_true = 0.06
+    scene0 = occluder_scene(0.0)
+    scene_t = occluder_scene(dx_true)
+    from tracer.api import build_tracers
+
+    wcfg = WhittedConfig(max_bounces=cfg.max_bounces,
+                         smooth_shading=cfg.smooth_shading)
+    rays = generate_rays(CAM, cfg.height, cfg.width)
+    target = render_wavefront(scene_t, rays, wcfg, *build_tracers(scene_t, cfg))
+
+    occ_x = lambda p: float(np.mean(np.asarray(p["vert_offset"])[4:, 0]))
+
+    fcfg_naive = FitConfig(steps=25, learning_rate=4e-3, edge_aware=False)
+    p_naive, _ = fit(scene0, CAM, target, cfg, fcfg_naive)
+    assert abs(occ_x(p_naive)) < 1e-6, \
+        "interior-only gradients must leave the off-screen occluder in place"
+
+    fcfg = FitConfig(steps=25, learning_rate=4e-3, edge_aware=True,
+                     edge_eps=0.01)
+    p_edge, losses = fit(scene0, CAM, target, cfg, fcfg)
+    assert occ_x(p_edge) > 0.015, \
+        f"edge-aware fit should pull the occluder toward dx={dx_true}, " \
+        f"moved {occ_x(p_edge):.4f}"
+    assert losses[-1] < 0.6 * losses[0], "edge-aware fit did not reduce loss"

@@ -147,3 +147,49 @@ def test_image_tiling_roundtrip():
     assert o_t.shape == (6, 256, 3)
     back = untile(o_t, tiling)
     np.testing.assert_array_equal(np.asarray(back), img)
+
+
+def _random_rays_for_cull(n, seed):
+    rng = np.random.default_rng(seed)
+    o = rng.normal(0, 0.3, (n, 3)).astype(np.float32) + np.array([0, 0, 2.5], np.float32)
+    d = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    d[:, 2] -= 1.5  # bias toward the soup
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+@pytest.mark.parametrize("n_tris,tr,seed", [(3000, 64, 0), (12000, 64, 1),
+                                            (12000, 256, 2)])
+def test_two_stage_cull_matches_dense(n_tris, tr, seed):
+    """cull_clusters_sorted2 == cull_clusters_sorted whenever no tile
+    exceeds the supercluster cap (the monotone-containment argument in its
+    docstring, checked exactly: same words, counts, and zero excess)."""
+    from tracer.bvh.cull import cull_clusters_sorted, cull_clusters_sorted2
+
+    scene = random_tri_soup(n_tris, seed=seed)
+    accel = build_clusters(scene.verts, scene.tris, cluster_size=32)
+    assert accel.super_lo.shape[0] > 2  # the two-stage path is exercised
+    o, d = _random_rays_for_cull(1024, seed)
+    o_t, d_t, _ = tile_rays(o, d, tr)
+    k = accel.num_clusters - accel.num_clusters // 3  # force k < Ncl
+    k = max(8, -(-k // 8) * 8)
+    w1, c1, e1 = cull_clusters_sorted(accel, o_t, d_t, T_FAR, k)
+    w2, c2, e2, _need = cull_clusters_sorted2(accel, o_t, d_t, T_FAR, k,
+                                              s_cap=accel.super_lo.shape[0])
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+    assert int(e1) == int(e2)
+
+
+def test_two_stage_cull_supercluster_overflow_reported():
+    """A starved supercluster cap must report nonzero excess (never
+    silently truncate), even when the cluster-level k_cap is generous."""
+    from tracer.bvh.cull import cull_clusters_sorted2
+
+    scene = random_tri_soup(12000, seed=3)
+    accel = build_clusters(scene.verts, scene.tris, cluster_size=32)
+    o, d = _random_rays_for_cull(1024, 3)
+    o_t, d_t, _ = tile_rays(o, d, 256)  # fat tiles: many superclusters hit
+    _, _, e, _need = cull_clusters_sorted2(accel, o_t, d_t, T_FAR,
+                                           accel.num_clusters // 2, s_cap=1)
+    assert int(e) > 0

@@ -42,3 +42,21 @@ def test_jitter_shifts_rays():
     r0 = generate_rays(cam, 8, 8)
     r1 = generate_rays(cam, 8, 8, jitter=jnp.full((8, 8, 2), 0.75))
     assert not np.allclose(np.asarray(r0.d), np.asarray(r1.d))
+
+
+def test_generate_rays_tiled_matches_fold():
+    """generate_rays_tiled == generate_rays + tile_rays bit-for-bit (same
+    arithmetic, different addressing), including the tiling record."""
+    import numpy as np
+    from tracer.core.camera import Camera, generate_rays
+    from tracer.kernels.traversal import tile_rays, generate_rays_tiled
+
+    cam = Camera.make(position=(0.2, 1.0, 3.0), look_at=(0.0, 0.5, 0.0),
+                      fov_y_deg=40.0)
+    H, W, tr = 48, 80, 64
+    rays = generate_rays(cam, H, W)
+    o_ref, d_ref, til_ref = tile_rays(rays.o, rays.d, tr)
+    o_t, d_t, til = generate_rays_tiled(cam, H, W, tr)
+    np.testing.assert_array_equal(np.asarray(o_ref), np.asarray(o_t))
+    np.testing.assert_array_equal(np.asarray(d_ref), np.asarray(d_t))
+    assert til == til_ref

@@ -61,6 +61,14 @@ def _candidate_margins(accel: ClusterAccel, o_t, d_t, cl_ids, cl_valid,
     e1 = rows[..., 3:6]
     e2 = rows[..., 6:9]
     tri_valid = (rows[..., 25] > 0.5) & jnp.repeat(cl_valid, c, axis=1)
+    # Padding slots carry all-zero rows; the norms below have NaN gradients
+    # at exactly 0 (and masking the RESULT doesn't stop NaN cotangents:
+    # NaN * 0 == NaN in the backward pass), so replace invalid slots' edges
+    # with a safe dummy triangle before any norm/cross.
+    safe = tri_valid[..., None]
+    v0 = jnp.where(safe, v0, jnp.float32(0.0))
+    e1 = jnp.where(safe, e1, jnp.array([1.0, 0.0, 0.0], jnp.float32))
+    e2 = jnp.where(safe, e2, jnp.array([0.0, 1.0, 0.0], jnp.float32))
 
     o = o_t[:, :, None, :]  # (Nt, TR, 1, 3)
     d = d_t[:, :, None, :]

@@ -79,6 +79,44 @@ def tile_rays(o: jax.Array, d: jax.Array, tr: int = DEFAULT_TILE):
     return o.reshape(-1, tr, 3), d.reshape(-1, tr, 3), Tiling(batch_shape, n, None)
 
 
+def generate_rays_tiled(camera, height: int, width: int, tr: int):
+    """Primary rays generated DIRECTLY in the (Ntiles, TR, 3) tiled layout.
+
+    Bit-identical to generate_rays + tile_rays (same arithmetic on the same
+    pixel-center values, asserted in tests) but with the spatial fold done
+    by integer index math instead of a 5-D transpose — the (H, W) <->
+    tile reshuffle of the o/d wavefronts was ~4 ms/frame at 1080p on the
+    bench chip for what is an addressing change. Differentiable w.r.t. the
+    camera exactly like generate_rays (reference parity: SURVEY.md R1).
+
+    Returns (o_t, d_t, tiling); requires tr a perfect square whose side
+    divides both image dimensions (the tile_rays fast-path condition).
+    """
+    th = tw = int(tr ** 0.5)
+    if th * tw != tr or height % th or width % tw:
+        from tracer.core.camera import generate_rays
+
+        rays = generate_rays(camera, height, width)
+        return tile_rays(rays.o, rays.d, tr)
+    ntx = width // tw
+    tiles = jnp.arange((height // th) * ntx, dtype=jnp.int32)[:, None]
+    slot = jnp.arange(tr, dtype=jnp.int32)[None, :]
+    yy = ((tiles // ntx) * th + slot // tw).astype(jnp.float32)
+    xx = ((tiles % ntx) * tw + slot % tw).astype(jnp.float32)
+    right, up, fwd = camera.basis()
+    aspect = width / height
+    tan_half = jnp.tan(camera.fov_y * 0.5)
+    ndc_x = ((xx + 0.5) / width * 2.0 - 1.0) * aspect * tan_half
+    ndc_y = (1.0 - (yy + 0.5) / height * 2.0) * tan_half
+    d = (ndc_x[..., None] * right + ndc_y[..., None] * up
+         + jnp.broadcast_to(fwd, ndc_x.shape + (3,)))
+    o = jnp.broadcast_to(camera.position, d.shape)
+    from tracer.core.types import normalize
+
+    return o, normalize(d), Tiling((height, width), height * width,
+                                   (th, tw, height, width))
+
+
 def untile(x: jax.Array, tiling: Tiling):
     """(Ntiles, TR, ...) -> original batch shape."""
     tail = x.shape[2:]

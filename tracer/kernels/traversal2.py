@@ -40,7 +40,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tracer.bvh.cluster import ClusterAccel
-from tracer.bvh.cull import cull_clusters_sorted, CLUSTER_BITS
+from tracer.bvh.cull import cull_clusters_sorted, cull_clusters_sorted2, CLUSTER_BITS
 from tracer.core.types import Ray, Hit, T_FAR
 from tracer.core.intersect import moller_trumbore
 from tracer.kernels.traversal import tile_rays, untile, _homog, T_MIN
@@ -431,7 +431,8 @@ def make_sorted_tracers(scene, accel: ClusterAccel, k_cap: int = DEFAULT_K,
 
     def trace_fn(ray: Ray) -> Hit:
         o_t, d_t, tiling = tile_rays(ray.o, ray.d, tr)
-        words, counts, _overflow = cull_clusters_sorted(accel, o_t, d_t, T_FAR, k)
+        words, counts, _overflow, _need = cull_clusters_sorted2(
+            accel, o_t, d_t, T_FAR, k)
         bt, gid = trace_tiles_sorted(o_t, d_t, accel, words, counts,
                                      t_min=t_min, interpret=interpret)
         return recover_hit(scene, ray, untile(bt, tiling), untile(gid, tiling),
@@ -445,7 +446,8 @@ def make_sorted_tracers(scene, accel: ClusterAccel, k_cap: int = DEFAULT_K,
             tm3 = jnp.broadcast_to(t_max[..., None], t_max.shape + (3,))
             t_max_t, _, _ = tile_rays(tm3, tm3, tr)
             t_max_t = t_max_t[..., 0]
-        words, counts, _overflow = cull_clusters_sorted(accel, o_t, d_t, t_max_t, k)
+        words, counts, _overflow, _need = cull_clusters_sorted2(
+            accel, o_t, d_t, t_max_t, k)
         occ = any_hit_tiles_sorted(o_t, d_t, t_max_t, accel, words, counts,
                                    t_min=t_min, interpret=interpret)
         return untile(occ, tiling)

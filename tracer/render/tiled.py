@@ -25,10 +25,10 @@ import jax
 import jax.numpy as jnp
 
 from tracer.bvh.cluster import ClusterAccel
-from tracer.bvh.cull import cull_clusters_sorted
+from tracer.bvh.cull import cull_clusters_sorted2
 from tracer.core.camera import Camera, generate_rays
 from tracer.core.types import Ray, Hit, T_FAR, RAY_EPS, normalize
-from tracer.kernels.traversal import tile_rays, untile
+from tracer.kernels.traversal import tile_rays, untile, generate_rays_tiled
 from tracer.kernels.traversal2 import (
     trace_tiles_sorted, any_hit_tiles_sorted, DEFAULT_K, T_MIN)
 from tracer.render.whitted import WhittedConfig
@@ -58,32 +58,32 @@ def mt_from_edges(o, d, v0, e1, e2, t_min=T_MIN, eps=1e-12, bary_eps=1e-5):
     return t, u, v, hit
 
 
-def _trace_rows(accel: ClusterAccel, o_t, d_t, k_cap, interpret):
+def _trace_rows(accel: ClusterAccel, o_t, d_t, k_cap, s_cap, interpret):
     """Kernel selection pass -> (gid, rows, excess). All kernel inputs are
     stop-gradiented; gradients flow through the row recompute instead."""
     sg = jax.lax.stop_gradient
     accel_sg = sg(accel)
-    words, counts, excess = cull_clusters_sorted(accel_sg, sg(o_t), sg(d_t),
-                                                 T_FAR, k_cap)
+    words, counts, excess, need = cull_clusters_sorted2(
+        accel_sg, sg(o_t), sg(d_t), T_FAR, k_cap, s_cap)
     _bt, gid = trace_tiles_sorted(sg(o_t), sg(d_t), accel_sg, words, counts,
                                   interpret=interpret)
     rows = accel.shade[jnp.maximum(gid, 0)]  # (Nt, TR, SHADE_COLS)
-    return gid, rows, excess
+    return gid, rows, excess, need
 
 
-def _occluded(accel: ClusterAccel, o_t, d_t, t_max_t, k_cap, interpret):
+def _occluded(accel: ClusterAccel, o_t, d_t, t_max_t, k_cap, s_cap, interpret):
     sg = jax.lax.stop_gradient
     accel_sg = sg(accel)
     o_t, d_t, t_max_t = sg(o_t), sg(d_t), sg(t_max_t)
-    words, counts, excess = cull_clusters_sorted(accel_sg, o_t, d_t, t_max_t,
-                                                 k_cap)
+    words, counts, excess, need = cull_clusters_sorted2(
+        accel_sg, o_t, d_t, t_max_t, k_cap, s_cap)
     occ = any_hit_tiles_sorted(o_t, d_t, t_max_t, accel_sg, words, counts,
                                interpret=interpret)
-    return occ, excess
+    return occ, excess, need
 
 
 def _segment_occluded(accel: ClusterAccel, light_pos, p_t, eps_t, k_cap,
-                      interpret):
+                      s_cap, interpret):
     """Occlusion of the segment light<->p, traced FROM THE LIGHT.
 
     Shadow rays share the light as a common origin, so the per-tile frustum
@@ -101,11 +101,11 @@ def _segment_occluded(accel: ClusterAccel, light_pos, p_t, eps_t, k_cap,
     d_t = sg(p_t) - light_pos
     seg_len = jnp.sqrt(jnp.maximum(jnp.sum(d_t * d_t, axis=-1), 1e-20))
     t_max_t = 1.0 - eps_t / seg_len
-    words, counts, excess = cull_clusters_sorted(accel_sg, o_t, d_t, t_max_t,
-                                                 k_cap)
+    words, counts, excess, need = cull_clusters_sorted2(
+        accel_sg, o_t, d_t, t_max_t, k_cap, s_cap)
     occ = any_hit_tiles_sorted(o_t, d_t, t_max_t, accel_sg, words, counts,
                                interpret=interpret)
-    return occ, excess
+    return occ, excess, need
 
 
 # Closest-hit candidate cap: primary/bounce frusta are tight (p99 ~ 24 on
@@ -114,22 +114,33 @@ def _segment_occluded(accel: ClusterAccel, light_pos, p_t, eps_t, k_cap,
 K_CLOSEST = 64
 
 
+# Supercluster cap for the two-stage cull (see bvh.cull); overflow past it
+# is surfaced, and the API's cap auto-sizing escalates it per scene.
+S_CAP = 16
+
+
 def render_tiled(scene, accel: ClusterAccel, camera: Camera,
                  height: int, width: int, cfg: WhittedConfig,
                  k_cap: int = DEFAULT_K, tr: int = 64,
-                 interpret: bool = False, with_aux: bool = False):
+                 interpret: bool = False, with_aux: bool = False,
+                 k_closest: int = K_CLOSEST, s_cap: int = S_CAP):
     # tr=64 (8x8-pixel tiles): measured 2.4x faster than 16x16 at 1080p —
     # tighter tile frusta cut candidates/tile 5x (mean 18.3 -> 3.5), which
     # outweighs the 4x tile count; VPU blocks stay full at (64, 384).
     """Full-image Whitted render on the v2 kernel path -> (H, W, 3), or
     ((H, W, 3), aux) when with_aux: aux['overflow'] counts cull candidates
-    dropped by the k-caps (0 == exact)."""
+    dropped by the k/s caps (0 == exact)."""
     k = min(k_cap, accel.num_clusters)
     k = max(8, -(-k // 8) * 8)
-    kc = min(K_CLOSEST, k)
+    kc = min(k_closest, accel.num_clusters)
+    kc = max(8, -(-kc // 8) * 8)
     overflow = jnp.int32(0)
-    rays = generate_rays(camera, height, width)
-    o_t, d_t, tiling = tile_rays(rays.o, rays.d, tr)  # one fold transpose
+    # Max over all passes of the unclipped candidate counts: what the caps
+    # would have to be for this frame to be exact (api cap auto-sizing).
+    need_closest = jnp.int32(0)
+    need_shadow = jnp.int32(0)
+    need_s = jnp.int32(0)
+    o_t, d_t, tiling = generate_rays_tiled(camera, height, width, tr)
 
     sky = jnp.asarray(cfg.sky_color, jnp.float32)
     shape = o_t.shape[:2]
@@ -138,8 +149,10 @@ def render_tiled(scene, accel: ClusterAccel, camera: Camera,
     live = jnp.ones(shape, bool)
 
     for bounce in range(cfg.max_bounces):
-        gid, rows, exc = _trace_rows(accel, o_t, d_t, kc, interpret)
+        gid, rows, exc, need = _trace_rows(accel, o_t, d_t, kc, s_cap, interpret)
         overflow = overflow + exc
+        need_closest = jnp.maximum(need_closest, need[0])
+        need_s = jnp.maximum(need_s, need[1])
         v0 = rows[..., 0:3]
         e1 = rows[..., 3:6]
         e2 = rows[..., 6:9]
@@ -176,9 +189,12 @@ def render_tiled(scene, accel: ClusterAccel, camera: Camera,
             # so they don't fatten the shadow frusta or cost kernel work.
             lit = valid & (cos > 0.0)
             target = jnp.where(lit[..., None], p + n * RAY_EPS, lpos)
-            occ, exc = _segment_occluded(accel, lpos, target,
-                                         jnp.float32(RAY_EPS), k, interpret)
+            occ, exc, need = _segment_occluded(accel, lpos, target,
+                                               jnp.float32(RAY_EPS), k, s_cap,
+                                               interpret)
             overflow = overflow + exc
+            need_shadow = jnp.maximum(need_shadow, need[0])
+            need_s = jnp.maximum(need_s, need[1])
             vis = jnp.where(occ | ~lit, 0.0, 1.0)
             irr = (cos * vis / jnp.maximum(dist2, 1e-20))[..., None] * lint
             direct = direct + albedo / jnp.pi * irr
@@ -197,5 +213,6 @@ def render_tiled(scene, accel: ClusterAccel, camera: Camera,
 
     img = untile(radiance, tiling)
     if with_aux:
-        return img, {"overflow": overflow}
+        return img, {"overflow": overflow, "need_closest": need_closest,
+                     "need_shadow": need_shadow, "need_s": need_s}
     return img
