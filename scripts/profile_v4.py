@@ -41,7 +41,8 @@ def main():
     print(f"scene tris={scene.num_tris} image={cfg.height}x{cfg.width} "
           f"TR={tr} kc={kc} ks={ks} sc={sc}", flush=True)
 
-    build = jax.jit(build_scene_accel)
+    csize = int(os.environ.get("CSIZE", "128"))
+    build = jax.jit(lambda s: build_scene_accel(s, cluster_size=csize))
     ms = timeit(build, scene)
     accel = build(scene)
     ncl = accel.num_clusters
@@ -66,6 +67,19 @@ def main():
     bt, gid = closest(o_t, d_t, accel, words, counts)
     print(f"closest:  {ms:8.2f} ms   hit_frac={float(jnp.mean(bt < T_FAR)):.3f}",
           flush=True)
+
+    from tracer.kernels.traversal2 import trace_tiles_split, DEFAULT_BATCH
+
+    cnp2 = np.asarray(counts)
+    p = int(-(-int((cnp2 > DEFAULT_BATCH).sum() + 8) // 8) * 8)
+    z = int(-(-int((cnp2 > 0).sum() + 8) // 8) * 8)
+    closest_sp = jax.jit(lambda o, d, a, w, n: trace_tiles_split(
+        o, d, a, w, n, p, z)[:3])
+    ms = timeit(closest_sp, o_t, d_t, accel, words, counts)
+    bt2, gid2, exc = closest_sp(o_t, d_t, accel, words, counts)
+    agree = float(jnp.mean((gid2 == gid)))
+    print(f"closest-split: {ms:5.2f} ms  P={p} Z={z} excess={int(exc)} "
+          f"agree={agree:.4f}", flush=True)
 
     shade_gather = jax.jit(lambda a, g: a.shade[jnp.maximum(g, 0)])
     ms = timeit(shade_gather, accel, gid)

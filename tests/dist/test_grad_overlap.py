@@ -62,3 +62,39 @@ def test_bucketed_matches_local_autodiff():
     gl = np.asarray(grads_l).ravel()
     rel_l2 = np.linalg.norm(gs - gl) / max(np.linalg.norm(gl), 1e-12)
     assert rel_l2 < 5e-2, f"bucketed grad field differs by {rel_l2:.2%} (L2)"
+
+
+def test_bucketed_accel_tier_matches_local_autodiff():
+    """T12 through the PRODUCTION accel tier: the overlapped all-reduce with
+    tracer_builder=build_tracers(use_bvh=True) — the composition BASELINE
+    config 5 pairs (accel path + bucketed grad all-reduce) — must match
+    single-device autodiff through the same accel renderer."""
+    from functools import partial
+
+    from tracer.api import build_tracers
+
+    cfg = load_config("bunny-grad", height=64, width=64, max_bounces=1)
+    assert cfg.use_bvh
+    cfg = dc.replace(cfg, height=64, width=64)
+    scene, cam = get_scene(CFG)  # cornell geometry, accel tracers
+    mesh = make_render_mesh(jax.devices(), data=8, geom=1)
+    builder = partial(build_tracers, cfg=cfg)
+    step = make_overlapped_grad_fn(cfg, mesh, n_buckets=2,
+                                   tracer_builder=builder)
+    loss_sh, grads_sh = step(scene, cam, _target())
+
+    wcfg = WhittedConfig(max_bounces=cfg.max_bounces,
+                         smooth_shading=cfg.smooth_shading)
+
+    def loss_fn(verts):
+        s = dc.replace(scene, verts=verts)
+        rays = generate_rays(cam, cfg.height, cfg.width)
+        img = render_wavefront(s, rays, wcfg, *build_tracers(s, cfg))
+        return jnp.mean((img - _target()) ** 2)
+
+    loss_l, grads_l = jax.value_and_grad(loss_fn)(scene.verts)
+    np.testing.assert_allclose(float(loss_sh), float(loss_l), rtol=1e-4)
+    gs = np.asarray(grads_sh).ravel()
+    gl = np.asarray(grads_l).ravel()
+    rel_l2 = np.linalg.norm(gs - gl) / max(np.linalg.norm(gl), 1e-12)
+    assert rel_l2 < 5e-2, f"accel bucketed grad differs by {rel_l2:.2%} (L2)"

@@ -64,3 +64,47 @@ def test_hall256_pallas_interpret_matches_cpp_oracle():
                                 smooth_shading=True)
     assert img.max() > 0.05
     _golden_check(img, ref)
+
+
+def test_sponza_class_1080p_crop_matches_cpp_oracle():
+    """BASELINE config 4 golden: the REAL sponza1080 scene (columned hall,
+    ~247k tris) with its 1080p camera frustum and multi-bounce shading —
+    a 192-row band of the 1080p frame rendered through the cluster-accel
+    tier vs the full-frame C++ oracle, compared on the crop."""
+    import jax.numpy as jnp
+
+    from tracer.api import get_scene, build_tracers
+    from tracer.core.camera import generate_rays_band
+    from tracer.render.whitted import WhittedConfig, render_wavefront
+
+    from tracer.bvh import build_scene_accel
+    from tracer.kernels.traversal import make_accel_tracers
+
+    cfg = load_config("sponza1080")
+    scene, camera = get_scene(cfg)
+    assert scene.num_tris > 200_000  # "~260k tris" class (BASELINE.json:9)
+    # Rows ~60% down the frame: the band with the lit column blobs (the
+    # upper half of this camera's view is empty hall — a crop there would
+    # golden-check nothing but sky/ambient).
+    y0, hb = 640, 128
+    rays = generate_rays_band(camera, cfg.height, cfg.width, y0, hb)
+    wcfg = WhittedConfig(max_bounces=cfg.max_bounces,
+                         smooth_shading=cfg.smooth_shading)
+    # The default jnp tier is exact-but-O(Ncl) per tile (k_cap=None scans
+    # all ~1930 clusters); a sized cap keeps this CPU golden tractable.
+    # Candidate-cap overflow would print the work-list warning and show up
+    # as image error against the oracle, so the cap is self-checking.
+    accel = build_scene_accel(scene)
+    trace_fn, occlude_fn = make_accel_tracers(scene, accel, use_pallas=False,
+                                              k_cap=128)
+    img = np.asarray(render_wavefront(scene, rays, wcfg, trace_fn, occlude_fn))
+    ref = cpp_oracle.cpp_render(scene, camera, cfg.height, cfg.width,
+                                max_bounces=cfg.max_bounces,
+                                smooth_shading=cfg.smooth_shading)
+    assert img.max() > 0.05
+    # Each pixel carries up to 9 discrete visibility decisions here (3
+    # bounces x (closest + 2 shadow rays)) vs the bunny golden's 2, so the
+    # edge-tie flip budget scales: measured 1.55% flipped pixels even with
+    # the cull fully uncapped (k=256 == k=128 to 0.05pp), while p98 error
+    # is exactly 0 — agreement off edges is bit-tight.
+    _golden_check(img, ref[y0:y0 + hb], frac_tol=0.025)

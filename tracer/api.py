@@ -105,13 +105,15 @@ def make_render_fn(scene: Scene, cfg: RenderConfig):
         build = jax.jit(build_scene_accel)
 
         def build_run(caps):
-            kc, k, s = caps
+            kc, k, s, split, sh_split = caps
 
             @jax.jit
             def run_tiled(scene: Scene, accel, camera: Camera):
                 return render_tiled(scene, accel, camera, cfg.height,
                                     cfg.width, wcfg, with_aux=True,
-                                    k_closest=kc, k_cap=k, s_cap=s)
+                                    k_closest=kc, k_cap=k, s_cap=s,
+                                    closest_split=split,
+                                    shadow_split=sh_split)
 
             return run_tiled
 
@@ -124,30 +126,51 @@ def make_render_fn(scene: Scene, cfg: RenderConfig):
         # (VERDICT r3 weak #2/#8). A camera moving later can still
         # overflow; aux['overflow'] stays exposed and bench fails on it.
         state = {"scene": None, "accel": None,
-                 "caps": (K_CLOSEST, DEFAULT_K, S_CAP), "run": None}
+                 "caps": (K_CLOSEST, DEFAULT_K, S_CAP, None, None),
+                 "run": None}
 
         def _size_caps(scene, accel, camera):
             n_cl = accel.num_clusters
             n_sc = accel.super_lo.shape[0]
+            n_tiles = -(-cfg.height * cfg.width // 64)
             r8 = lambda v: max(8, -(-int(v) // 8) * 8)
-            for _ in range(6):
+            for it in range(6):
                 if state["run"] is None:
                     state["run"] = build_run(state["caps"])
                 img, aux = state["run"](scene, accel, camera)
-                if int(aux["overflow"]) == 0:
+                overflowed = int(aux["overflow"]) != 0
+                kc, k, s, split, sh_split = state["caps"]
+                # First frame also measures the tile count distributions for
+                # the three-tier kernel partitions (trace_tiles_split /
+                # any_hit_tiles_split); +8 slack keeps tiny count jitter
+                # from forcing a recompile.
+                szof = lambda a, b: (min(r8(aux[a]) + 8, n_tiles),
+                                     min(r8(aux[b]) + 8, n_tiles))
+                want_split = szof("need_split", "need_zero")
+                want_sh = szof("need_sh_split", "need_sh_zero")
+                if not overflowed and split is not None and sh_split is not None:
                     return
-                kc, k, s = state["caps"]
-                # Measured needs are lower bounds when superclusters also
-                # overflowed (their clusters went untested): also double,
-                # and clamp at the exact-by-construction maxima.
-                kc = min(max(r8(aux["need_closest"]), 2 * kc), n_cl)
-                k = min(max(r8(aux["need_shadow"]), 2 * k), n_cl)
-                s = min(max(int(aux["need_s"]), 2 * s), n_sc)
+                if overflowed:
+                    # Measured needs are lower bounds when superclusters
+                    # also overflowed (their clusters went untested): also
+                    # double, and clamp at the exact-by-construction maxima.
+                    kc = min(max(r8(aux["need_closest"]), 2 * kc), n_cl)
+                    k = min(max(r8(aux["need_shadow"]), 2 * k), n_cl)
+                    s = min(max(int(aux["need_s"]), 2 * s), n_sc)
+                # A measured split too narrow for this frame: widen
+                # monotonically (never shrink mid-scene).
+                if split is not None:
+                    want_split = (max(want_split[0], split[0]),
+                                  max(want_split[1], split[1]))
+                if sh_split is not None:
+                    want_sh = (max(want_sh[0], sh_split[0]),
+                               max(want_sh[1], sh_split[1]))
                 import sys
 
-                print(f"[tracer] cull overflow {int(aux['overflow'])}: "
-                      f"caps {state['caps']} -> {(kc, k, s)}", file=sys.stderr)
-                state["caps"] = (kc, k, s)
+                print(f"[tracer] sizing (overflow {int(aux['overflow'])}): "
+                      f"caps {state['caps']} -> "
+                      f"{(kc, k, s, want_split, want_sh)}", file=sys.stderr)
+                state["caps"] = (kc, k, s, want_split, want_sh)
                 state["run"] = build_run(state["caps"])
             raise RuntimeError(
                 f"cap sizing did not converge (caps={state['caps']})")

@@ -57,25 +57,39 @@ def generate_rays(camera: Camera, height: int, width: int, jitter: jax.Array | N
     `jitter` is an optional (H, W, 2) in [0,1) sub-pixel offset (for AA /
     stochastic edge sampling in the differentiable path).
     """
+    return generate_rays_band(camera, height, width, 0, height, jitter)
+
+
+def generate_rays_band(camera: Camera, height: int, width: int,
+                       y0, band_h: int,
+                       jitter: jax.Array | None = None) -> Ray:
+    """Rays for the horizontal band of rows [y0, y0 + band_h) of an
+    H x W image — same arithmetic as generate_rays restricted to the band.
+
+    `y0` may be a traced scalar (e.g. axis_index * band inside shard_map),
+    which is how the tile-DP tier generates each device's rays locally with
+    zero communication (dist.ray_dp.make_sharded_accel_render_fn)."""
     right, up, fwd = camera.basis()
     aspect = width / height
     tan_half = jnp.tan(camera.fov_y * 0.5)
 
-    yy = jnp.arange(height, dtype=jnp.float32)[:, None]
+    yy = (jnp.asarray(y0, jnp.float32)
+          + jnp.arange(band_h, dtype=jnp.float32))[:, None]
     xx = jnp.arange(width, dtype=jnp.float32)[None, :]
     if jitter is None:
         jx = jy = 0.5
     else:
         jy = jitter[..., 0]
         jx = jitter[..., 1]
-    # NDC in [-1, 1], y flipped so +y is up in world space.
+    # NDC in [-1, 1], y flipped so +y is up in world space; the divisors
+    # stay the FULL image dimensions — the band is a window into it.
     ndc_x = ((xx + jx) / width * 2.0 - 1.0) * aspect * tan_half
     ndc_y = (1.0 - (yy + jy) / height * 2.0) * tan_half
 
     d = (
         ndc_x[..., None] * right
         + ndc_y[..., None] * up
-        + jnp.broadcast_to(fwd, (height, width, 3))
+        + jnp.broadcast_to(fwd, (band_h, width, 3))
     )
-    o = jnp.broadcast_to(camera.position, (height, width, 3))
+    o = jnp.broadcast_to(camera.position, (band_h, width, 3))
     return Ray(o=o, d=normalize(d))

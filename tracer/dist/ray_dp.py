@@ -47,6 +47,50 @@ def make_sharded_render_fn(scene: Scene, cfg, mesh: jax.sharding.Mesh, tracer_bu
     return run
 
 
+def make_sharded_accel_render_fn(scene: Scene, cfg, mesh: jax.sharding.Mesh,
+                                 tracer_builder=None):
+    """Tile DP through the PRODUCTION accel tier (BASELINE config 4:
+    geometry + accel replicated, image rows sharded).
+
+    Unlike make_sharded_render_fn (which annotates a flat wavefront and
+    lets GSPMD partition — fine for the brute tracers' per-ray math, but
+    the accel tier's tile fold/sort/kernel steps would make XLA insert
+    gathers), this uses shard_map: each device generates ONLY its row
+    band's rays (generate_rays_band at axis_index * band), builds the same
+    replicated accel, and runs the full cull + traversal + shading
+    pipeline locally — zero communication until the final image assembly.
+    """
+    from functools import partial as _partial
+
+    wcfg = WhittedConfig(max_bounces=cfg.max_bounces,
+                         smooth_shading=cfg.smooth_shading)
+    if tracer_builder is None:
+        from tracer.api import build_tracers
+
+        tracer_builder = _partial(build_tracers, cfg=cfg)
+    n = mesh.shape[DATA_AXIS]
+    if cfg.height % n:
+        raise ValueError(f"height {cfg.height} not divisible by data={n}")
+    band = cfg.height // n
+
+    def body(scene: Scene, camera: Camera):
+        from tracer.core.camera import generate_rays_band
+
+        y0 = jax.lax.axis_index(DATA_AXIS) * band
+        rays = generate_rays_band(camera, cfg.height, cfg.width, y0, band)
+        trace_fn, occlude_fn = tracer_builder(scene)
+        return render_wavefront(scene, rays, wcfg, trace_fn, occlude_fn)
+
+    shard_body = jax.shard_map(
+        body, mesh=mesh, in_specs=(P(), P()), out_specs=P(DATA_AXIS))
+
+    @jax.jit
+    def run(scene: Scene, camera: Camera) -> jax.Array:
+        return shard_body(scene, camera)
+
+    return run
+
+
 def make_sharded_grad_fn(scene: Scene, cfg, mesh: jax.sharding.Mesh, tracer_builder=None):
     """Jitted sharded loss+grad w.r.t. vertex positions: the pixel loss is a
     mean over sharded rays, so XLA emits the cross-chip grad reduction

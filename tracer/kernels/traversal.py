@@ -213,7 +213,12 @@ def trace_tiles_jnp(o_t, d_t, accel: ClusterAccel, cand, counts, t_min=T_MIN):
     # as the body output (which depends on rays AND accel, possibly sharded
     # over different mesh axes). 0*x terms propagate both inputs' axes onto
     # the init without changing values (cannot constant-fold: 0*NaN != 0).
-    vary_f = 0.0 * o_t[..., 0] + 0.0 * accel.tri_w.reshape(-1)[0]
+    # d_t must participate: a pinhole wavefront's o_t is a replicated
+    # broadcast of the camera position even when the DIRECTIONS are
+    # device-varying (shard_map band rendering), and a non-varying init
+    # against a varying body output is a scan type error.
+    vary_f = (0.0 * o_t[..., 0] + 0.0 * d_t[..., 0]
+              + 0.0 * accel.tri_w.reshape(-1)[0] + 0.0 * counts[:, None])
     init = (
         jnp.full((n_tiles, tr), T_FAR, jnp.float32) + vary_f,
         jnp.full((n_tiles, tr), -1, jnp.int32) + vary_f.astype(jnp.int32),
@@ -240,7 +245,8 @@ def any_hit_tiles_jnp(o_t, d_t, t_max_t, accel: ClusterAccel, cand, counts, t_mi
         return occ | (jnp.any(hit, axis=-1) & active), None
 
     # See trace_tiles_jnp: init must carry both inputs' varying axes.
-    vary_b = (0.0 * o_t[..., 0] + 0.0 * accel.tri_w.reshape(-1)[0]) > 0.0
+    vary_b = (0.0 * o_t[..., 0] + 0.0 * d_t[..., 0] + 0.0 * t_max_t
+              + 0.0 * accel.tri_w.reshape(-1)[0] + 0.0 * counts[:, None]) > 0.0
     occ0 = jnp.zeros((n_tiles, tr), bool) | vary_b
     occ, _ = jax.lax.scan(step, occ0, jnp.arange(k_cap, dtype=jnp.int32))
     return occ

@@ -77,6 +77,10 @@ def _cluster_t(o4, d4, w, c, t_min, t_max_col, *, approx: bool = False):
     end (Mosaic's divide lowering beats the where+mul+reciprocal chain),
     so production passes keep approx=False; the flag remains for future
     hardware where the trade flips."""
+    # NOT the MXU: a (2TR, 8) x (8, 3C) dot at precision=HIGHEST was
+    # measured 45% SLOWER end to end (closest 56 -> 82 ms at 1080p/100k) —
+    # the K=8-thin fp32 multi-pass matmul loses to these structured
+    # broadcast FMAs. See PERF_NOTES.md.
     so, sd = _products(o4, d4, w)
     den = sd[:, 0:c]
     den_safe = jnp.where(den == 0.0, 1.0, den)
@@ -126,7 +130,7 @@ def _slab_enter(rt, lo0, lo1, lo2, hi0, hi1, hi2):
     return jnp.where(ok, enter, _BIG)
 
 
-def _closest_kernel(k_cap, c, t_min, g_sz, batch, n_cl, approx, words, counts, boxes,
+def _closest_kernel(k_cap, c, t_min, g_sz, batch, n_cl, approx, words, counts,
                     o4_ref, d4_ref, w_ref, bt_ref, bid_ref, btT_ref):
     """Closest-hit kernel body: per-tile while_loop, G tiles per grid step.
 
@@ -176,7 +180,7 @@ def _closest_kernel(k_cap, c, t_min, g_sz, batch, n_cl, approx, words, counts, b
                 word = words[base + jnp.minimum(k + j, k_cap - 1)]
                 cl = jnp.minimum(word & _CL_MASK, n_cl - 1)
                 live = k + j < n
-                w = w_ref[cl]  # (8, 3C); rows 0:4 = affine map, 4:8 = pad
+                w = _w_half(w_ref, cl)  # (4, 3C) affine-map rows
                 tv = _cluster_t(o4, d4, w, c, t_min, T_FAR, approx=approx)
                 tv = jnp.where(live, tv, T_FAR)
                 tmin = jnp.min(tv, axis=-1, keepdims=True)  # (TR, 1)
@@ -192,7 +196,71 @@ def _closest_kernel(k_cap, c, t_min, g_sz, batch, n_cl, approx, words, counts, b
         jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(_T_FAR_BITS)))
 
 
-def _anyhit_kernel(k_cap, c, t_min, g_sz, batch, n_cl, approx, words, counts, boxes,
+def _closest_fast_kernel(k_cap, c, t_min, g_sz, batch, n_cl, words, counts,
+                         o4_ref, d4_ref, w_ref, bt_ref, bid_ref):
+    """Straight-line closest-hit for tiles with count <= batch (the p50 == 1
+    regime: 70% of bench tiles hold 13% of the candidate mass). No
+    while_loop, no early-out bound, no scratch, no vector->scalar syncs —
+    just `batch` unconditional dense intersections per tile. Tiles are
+    count-sorted by the caller; any tile with count > batch routed here is
+    WRONG and must be counted into the surfaced excess (the API's sizing
+    loop then widens the generic region)."""
+    i = pl.program_id(0)
+    tr = o4_ref.shape[1]
+    slots = jax.lax.broadcasted_iota(jnp.int32, (tr, c), 1)
+    for g in range(g_sz):
+        tile = i * g_sz + g
+        o4 = o4_ref[g]
+        d4 = d4_ref[g]
+        n = counts[tile]
+        base = tile * k_cap
+        bt = jnp.full((tr, 1), T_FAR, jnp.float32)
+        bid = jnp.full((tr, 1), -1, jnp.int32)
+        for j in range(batch):
+            word = words[base + j]
+            cl = jnp.minimum(word & _CL_MASK, n_cl - 1)
+            live = j < n
+            w = _w_half(w_ref, cl)
+            tv = _cluster_t(o4, d4, w, c, t_min, T_FAR)
+            tv = jnp.where(live, tv, T_FAR)
+            tmin = jnp.min(tv, axis=-1, keepdims=True)
+            slot = jnp.min(jnp.where(tv == tmin, slots, c), axis=-1,
+                           keepdims=True)
+            better = tmin < bt
+            bt = jnp.where(better, tmin, bt)
+            bid = jnp.where(better, cl * c + slot, bid)
+        bt_ref[g] = bt
+        bid_ref[g] = bid
+
+
+def _anyhit_fast_kernel(k_cap, c, t_min, g_sz, batch, n_cl, words, counts,
+                        o4_ref, d4_ref, tmax_ref, w_ref, occ_ref):
+    """Straight-line occlusion for tiles with count <= batch: `batch`
+    unconditional dense any-hit tests, no while_loop, no group bound syncs,
+    no scratch (the _closest_fast_kernel counterpart; same wrong-tile /
+    surfaced-excess contract)."""
+    i = pl.program_id(0)
+    tr = o4_ref.shape[1]
+    for g in range(g_sz):
+        tile = i * g_sz + g
+        o4 = o4_ref[g]
+        d4 = d4_ref[g]
+        tmax_col = tmax_ref[g]  # (TR, 1)
+        n = counts[tile]
+        base = tile * k_cap
+        occ = jnp.zeros((tr, 1), jnp.float32)
+        for j in range(batch):
+            word = words[base + j]
+            cl = jnp.minimum(word & _CL_MASK, n_cl - 1)
+            live = j < n
+            w = _w_half(w_ref, cl)
+            tv = _cluster_t(o4, d4, w, c, t_min, tmax_col)
+            hit_any = (jnp.min(tv, axis=-1, keepdims=True) < T_FAR) & live
+            occ = jnp.maximum(occ, hit_any.astype(jnp.float32))
+        occ_ref[g] = occ.reshape(1, tr)
+
+
+def _anyhit_kernel(k_cap, c, t_min, g_sz, batch, n_cl, approx, words, counts,
                    o4_ref, d4_ref, tmax_ref, w_ref, occ_ref, occC_ref):
     """Occlusion kernel: LOCKSTEP tile groups (see _closest_kernel).
     Occlusion accumulates in column layout (occC scratch, (G, TR, 1)) and is
@@ -231,7 +299,7 @@ def _anyhit_kernel(k_cap, c, t_min, g_sz, batch, n_cl, approx, words, counts, bo
                 word = words[base + jnp.minimum(k + j, k_cap - 1)]
                 cl = jnp.minimum(word & _CL_MASK, n_cl - 1)
                 live = k + j < n
-                w = w_ref[cl]
+                w = _w_half(w_ref, cl)
                 tv = _cluster_t(o4, d4, w, c, t_min, tmax_col,
                                 approx=approx)
                 hit_any = (jnp.min(tv, axis=-1, keepdims=True) < T_FAR) & live
@@ -245,18 +313,27 @@ def _anyhit_kernel(k_cap, c, t_min, g_sz, batch, n_cl, approx, words, counts, bo
 
 
 def _pad_w(tri_w):
-    """(Ncl, 4, 3C) -> (Ncl, 8, 3C): Mosaic tiles the minor two dims in
-    (8, 128) blocks, so each cluster's matrix is padded to a full sublane
-    tile; dynamic indexing on dim 0 then needs no alignment proof."""
+    """(Ncl, 4, 3C) -> (ceil(Ncl/2), 8, 3C): TWO clusters per (8, 128)
+    Mosaic sublane tile — cluster 2i in rows 0:4, cluster 2i+1 in rows 4:8.
+
+    Dynamic indexing on dim 0 stays tile-aligned (no alignment proof
+    needed) and, unlike the old zero-padded (Ncl, 8, 3C) layout, none of
+    the VMEM is wasted: the scene matrix halves to ~6.1 KB/cluster, which
+    is what lets the ~1930-cluster sponza1080 scene stay VMEM-resident
+    (the padded layout was 22.9 MB against the 16 MB scoped-vmem limit).
+    Kernels select the half with _w_half."""
     n_cl, rows, w3c = tri_w.shape
-    return jnp.concatenate(
-        [tri_w, jnp.zeros((n_cl, 8 - rows, w3c), tri_w.dtype)], axis=1)
+    n_pair = -(-n_cl // 2)
+    padded = jnp.concatenate(
+        [tri_w, jnp.zeros((n_pair * 2 - n_cl, rows, w3c), tri_w.dtype)])
+    return padded.reshape(n_pair, 2 * rows, w3c)
 
 
-def _boxes(accel: ClusterAccel) -> jax.Array:
-    """(Ncl, 8) SMEM scalar table: lo.xyz, hi.xyz, pad, pad."""
-    z = jnp.zeros((accel.num_clusters, 2), accel.cluster_lo.dtype)
-    return jnp.concatenate([accel.cluster_lo, accel.cluster_hi, z], axis=1)
+def _w_half(w_ref, cl):
+    """Fetch cluster `cl`'s (4, 3C) affine-map rows from the paired layout:
+    one aligned (8, 3C) load + a scalar-predicated row select."""
+    wp = w_ref[cl >> 1]
+    return jnp.where((cl & 1) == 1, wp[4:8], wp[0:4])
 
 
 DEFAULT_GROUP = 8
@@ -284,17 +361,29 @@ def trace_tiles_sorted(o_t, d_t, accel: ClusterAccel, words, counts,
                        group: int = DEFAULT_GROUP, batch: int = DEFAULT_BATCH):
     """Closest-hit: (bt, gid) each (Ntiles, TR); gid = sorted-order global
     triangle slot (cluster*C + slot), -1 on miss."""
-    n_tiles, tr, _ = o_t.shape
-    c = accel.cluster_size
-    k_cap = words.shape[1]
     o4, d4 = _homog(o_t, d_t)
     w_all = _pad_w(accel.tri_w)
-    boxes = _boxes(accel)
+    return _run_sorted_region(o4, d4, words, counts, accel, t_min, interpret,
+                              group, batch, w_all)
+
+
+def _run_sorted_region(o4, d4, words, counts, accel: ClusterAccel, t_min,
+                       interpret, group, batch, w_all):
+    """Generic while-loop closest-hit over a (possibly pre-sorted) tile
+    slice; the chunked pallas_call machinery shared by trace_tiles_sorted
+    (whole image) and trace_tiles_split (heavy region)."""
+    n_tiles, tr, _ = o4.shape
+    c = accel.cluster_size
+    k_cap = words.shape[1]
     ch, n_chunks = _chunk(n_tiles, k_cap, group)
 
     def call(o4c, d4c, wordsc, countsc):
+        # NOTE: no per-cluster AABB scalar operand — SMEM rows are padded
+        # to ~512 B, so an (Ncl, 8) table would burn Ncl/2 KB of the 1 MB
+        # SMEM budget (it capped the VMEM-resident tier at C=128 and
+        # overflowed SMEM at C=64; the v2 kernels never read it).
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=2,
             grid=(o4c.shape[0] // group,),
             in_specs=[
                 pl.BlockSpec((group, tr, 4), lambda i, *_: (i, 0, 0)),
@@ -316,7 +405,7 @@ def trace_tiles_sorted(o_t, d_t, accel: ClusterAccel, words, counts,
                 jax.ShapeDtypeStruct((o4c.shape[0], tr, 1), jnp.int32),
             ],
             interpret=interpret,
-        )(wordsc.reshape(-1), countsc, boxes, o4c, d4c, w_all)
+        )(wordsc.reshape(-1), countsc, o4c, d4c, w_all)
 
     n_pad = ch * n_chunks
     o4c = _pad_tiles(o4, n_pad)
@@ -335,13 +424,131 @@ def trace_tiles_sorted(o_t, d_t, accel: ClusterAccel, words, counts,
     return out(bt[..., 0]), out(bid[..., 0])
 
 
+def _run_fast_region(o4, d4, words, counts, accel, t_min, interpret, group,
+                     batch, w_all):
+    """Run _closest_fast_kernel over pre-sorted tile slices. Only the first
+    `batch` candidate words per tile ship to SMEM (8-aligned slice)."""
+    n_tiles, tr, _ = o4.shape
+    c = accel.cluster_size
+    kf = max(8, -(-batch // 8) * 8)
+    words = words[:, :kf]
+    ch, n_chunks = _chunk(n_tiles, kf, group)
+
+    def call(o4c, d4c, wordsc, countsc):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(o4c.shape[0] // group,),
+            in_specs=[
+                pl.BlockSpec((group, tr, 4), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((group, tr, 4), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((group, tr, 1), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((group, tr, 1), lambda i, *_: (i, 0, 0)),
+            ],
+        )
+        return pl.pallas_call(
+            functools.partial(_closest_fast_kernel, kf, c, t_min, group,
+                              batch, accel.num_clusters),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((o4c.shape[0], tr, 1), jnp.float32),
+                jax.ShapeDtypeStruct((o4c.shape[0], tr, 1), jnp.int32),
+            ],
+            interpret=interpret,
+        )(wordsc.reshape(-1), countsc, o4c, d4c, w_all)
+
+    n_pad = ch * n_chunks
+    o4c = _pad_tiles(o4, n_pad)
+    d4c = _pad_tiles(d4, n_pad)
+    wordsc = _pad_tiles(words, n_pad)
+    countsc = _pad_tiles(counts, n_pad)
+    if n_chunks == 1:
+        bt, bid = call(o4c, d4c, wordsc, countsc)
+        return bt[:n_tiles, :, 0], bid[:n_tiles, :, 0]
+    bt, bid = jax.lax.map(
+        lambda a: call(*a),
+        (o4c.reshape(n_chunks, ch, tr, 4), d4c.reshape(n_chunks, ch, tr, 4),
+         wordsc.reshape(n_chunks, ch, kf), countsc.reshape(n_chunks, ch)))
+    out = lambda x: x.reshape(n_pad, tr)[:n_tiles]
+    return out(bt[..., 0]), out(bid[..., 0])
+
+
+def _round_group(v: int, group: int) -> int:
+    return -(-v // group) * group
+
+
+def trace_tiles_split(o_t, d_t, accel: ClusterAccel, words, counts,
+                      split: int, zero_split: int,
+                      t_min=T_MIN, interpret: bool = False,
+                      group: int = DEFAULT_GROUP, batch: int = DEFAULT_BATCH):
+    """Three-tier closest-hit over count-sorted tiles:
+
+      [0, split)           generic while-loop kernel (heavy tiles);
+      [split, zero_split)  straight-line fast kernel (count <= batch);
+      [zero_split, Ntiles) no kernel at all — miss constants (count == 0).
+
+    `split`/`zero_split` are STATIC partition points (rounded to `group`);
+    tiles landing below their tier's assumption produce wrong results and
+    are counted into the returned excess, so the caller's sizing loop can
+    widen the regions and recompile — the same measure-escalate contract
+    as the k-caps. Returns (bt, gid, excess, (need_split, need_zero)) with
+    needs = exact tile counts that would make this frame's excess zero.
+    """
+    n_tiles, tr, _ = o_t.shape
+    order = jnp.argsort(-counts).astype(jnp.int32)
+    inv = jnp.argsort(order).astype(jnp.int32)
+    o4, d4 = _homog(o_t, d_t)
+    o4, d4 = o4[order], d4[order]
+    words_s, counts_s = words[order], counts[order]
+    w_all = _pad_w(accel.tri_w)
+
+    P = min(_round_group(max(split, 0), group), _round_group(n_tiles, group))
+    Z = min(_round_group(max(zero_split, P), group),
+            _round_group(n_tiles, group))
+    P = min(P, n_tiles)
+    Z = min(Z, n_tiles)
+
+    need_split = jnp.sum(counts > batch)
+    need_zero = jnp.sum(counts > 0)
+    excess = (jnp.sum(counts_s[P:] > batch) + jnp.sum(counts_s[Z:] > 0)
+              ).astype(jnp.int32)
+
+    parts_bt, parts_bid = [], []
+    if P > 0:
+        bt_g, bid_g = _run_sorted_region(
+            o4[:P], d4[:P], words_s[:P], counts_s[:P], accel, t_min,
+            interpret, group, batch, w_all)
+        parts_bt.append(bt_g)
+        parts_bid.append(bid_g)
+    if Z > P:
+        bt_f, bid_f = _run_fast_region(
+            o4[P:Z], d4[P:Z], words_s[P:Z], counts_s[P:Z], accel, t_min,
+            interpret, group, batch, w_all)
+        parts_bt.append(bt_f)
+        parts_bid.append(bid_f)
+    if n_tiles > Z:
+        parts_bt.append(jnp.full((n_tiles - Z, tr), T_FAR, jnp.float32))
+        parts_bid.append(jnp.full((n_tiles - Z, tr), -1, jnp.int32))
+    bt = jnp.concatenate(parts_bt)[inv]
+    bid = jnp.concatenate(parts_bid)[inv]
+    return bt, bid, excess, (need_split, need_zero)
+
+
 def any_hit_tiles_sorted(o_t, d_t, t_max_t, accel: ClusterAccel, words, counts,
                          t_min=T_MIN, interpret: bool = False,
                          group: int = DEFAULT_GROUP, batch: int = DEFAULT_BATCH):
     """Occlusion: (Ntiles, TR) bool."""
-    n_tiles, tr, _ = o_t.shape
-    c = accel.cluster_size
-    k_cap = words.shape[1]
+    o4, d4, tmax3, order, inv, words_s, counts_s, w_all = _anyhit_prep(
+        o_t, d_t, t_max_t, accel, words, counts)
+    occ = _run_anyhit_region(o4, d4, tmax3, words_s, counts_s, accel, t_min,
+                             interpret, group, batch, w_all, fast=False)
+    return occ[inv]
+
+
+def _anyhit_prep(o_t, d_t, t_max_t, accel, words, counts):
+    """Shared any-hit preamble: padding-ray t_max zeroing + count sort."""
     o4, d4 = _homog(o_t, d_t)
     # Padding rays (d == 0) get t_max 0 so they can't inflate the early-out
     # bound; they can never hit anyway (den == 0 -> miss).
@@ -350,33 +557,53 @@ def any_hit_tiles_sorted(o_t, d_t, t_max_t, accel: ClusterAccel, words, counts,
     # Count-sort tiles for lockstep groups (see trace_tiles_sorted).
     order = jnp.argsort(-counts).astype(jnp.int32)
     inv = jnp.argsort(order).astype(jnp.int32)
-    o4, d4 = o4[order], d4[order]
-    tmax3 = tmax3[order]
-    words, counts = words[order], counts[order]
-    w_all = _pad_w(accel.tri_w)
-    boxes = _boxes(accel)
+    return (o4[order], d4[order], tmax3[order], order, inv,
+            words[order], counts[order], _pad_w(accel.tri_w))
+
+
+def _run_anyhit_region(o4, d4, tmax3, words, counts, accel, t_min, interpret,
+                       group, batch, w_all, fast: bool):
+    """Chunked pallas_call over a pre-sorted tile slice -> (n, TR) bool.
+    fast=True runs the straight-line count<=batch kernel (words sliced to
+    the first 8-aligned batch entries so SMEM stays tiny)."""
+    n_tiles, tr, _ = o4.shape
+    c = accel.cluster_size
+    if fast:
+        k_cap = max(8, -(-batch // 8) * 8)
+        words = words[:, :k_cap]
+    else:
+        k_cap = words.shape[1]
     ch, n_chunks = _chunk(n_tiles, k_cap, group)
 
     def call(o4c, d4c, tmc, wordsc, countsc):
+        in_specs = [
+            pl.BlockSpec((group, tr, 4), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((group, tr, 4), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((group, tr, 1), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
+        out_specs = [pl.BlockSpec((group, 1, tr), lambda i, *_: (i, 0, 0))]
+        if fast:
+            body = functools.partial(_anyhit_fast_kernel, k_cap, c, t_min,
+                                     group, batch, accel.num_clusters)
+            scratch = []
+        else:
+            body = functools.partial(_anyhit_kernel, k_cap, c, t_min, group,
+                                     batch, accel.num_clusters, False)
+            scratch = [pltpu.VMEM((group, tr, 1), jnp.float32)]
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=2,
             grid=(o4c.shape[0] // group,),
-            in_specs=[
-                pl.BlockSpec((group, tr, 4), lambda i, *_: (i, 0, 0)),
-                pl.BlockSpec((group, tr, 4), lambda i, *_: (i, 0, 0)),
-                pl.BlockSpec((group, tr, 1), lambda i, *_: (i, 0, 0)),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-            ],
-            out_specs=[pl.BlockSpec((group, 1, tr), lambda i, *_: (i, 0, 0))],
-            scratch_shapes=[pltpu.VMEM((group, tr, 1), jnp.float32)],
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch,
         )
         (occ,) = pl.pallas_call(
-            functools.partial(_anyhit_kernel, k_cap, c, t_min, group, batch,
-                              accel.num_clusters, False),
+            body,
             grid_spec=grid_spec,
             out_shape=[jax.ShapeDtypeStruct((o4c.shape[0], 1, tr), jnp.float32)],
             interpret=interpret,
-        )(wordsc.reshape(-1), countsc, boxes, o4c, d4c, tmc, w_all)
+        )(wordsc.reshape(-1), countsc, o4c, d4c, tmc, w_all)
         return occ
 
     n_pad = ch * n_chunks
@@ -386,14 +613,53 @@ def any_hit_tiles_sorted(o_t, d_t, t_max_t, accel: ClusterAccel, words, counts,
     wordsc = _pad_tiles(words, n_pad)
     countsc = _pad_tiles(counts, n_pad)
     if n_chunks == 1:
-        return call(o4c, d4c, tmc, wordsc, countsc)[:n_tiles, 0, :][inv] != 0
+        return call(o4c, d4c, tmc, wordsc, countsc)[:n_tiles, 0, :] != 0
 
     occ = jax.lax.map(
         lambda a: call(*a),
         (o4c.reshape(n_chunks, ch, tr, 4), d4c.reshape(n_chunks, ch, tr, 4),
          tmc.reshape(n_chunks, ch, tr, 1),
          wordsc.reshape(n_chunks, ch, k_cap), countsc.reshape(n_chunks, ch)))
-    return occ[:, :, 0, :].reshape(n_pad, tr)[:n_tiles][inv] != 0
+    return occ[:, :, 0, :].reshape(n_pad, tr)[:n_tiles] != 0
+
+
+def any_hit_tiles_split(o_t, d_t, t_max_t, accel: ClusterAccel, words, counts,
+                        split: int, zero_split: int,
+                        t_min=T_MIN, interpret: bool = False,
+                        group: int = DEFAULT_GROUP,
+                        batch: int = DEFAULT_BATCH):
+    """Three-tier occlusion over count-sorted tiles (the any-hit
+    counterpart of trace_tiles_split; same static-partition /
+    surfaced-excess contract). Returns
+    (occ (Ntiles, TR) bool, excess, (need_split, need_zero))."""
+    n_tiles, tr, _ = o_t.shape
+    o4, d4, tmax3, order, inv, words_s, counts_s, w_all = _anyhit_prep(
+        o_t, d_t, t_max_t, accel, words, counts)
+
+    P = min(_round_group(max(split, 0), group), _round_group(n_tiles, group))
+    Z = min(_round_group(max(zero_split, P), group),
+            _round_group(n_tiles, group))
+    P = min(P, n_tiles)
+    Z = min(Z, n_tiles)
+
+    need_split = jnp.sum(counts > batch)
+    need_zero = jnp.sum(counts > 0)
+    excess = (jnp.sum(counts_s[P:] > batch) + jnp.sum(counts_s[Z:] > 0)
+              ).astype(jnp.int32)
+
+    parts = []
+    if P > 0:
+        parts.append(_run_anyhit_region(
+            o4[:P], d4[:P], tmax3[:P], words_s[:P], counts_s[:P], accel,
+            t_min, interpret, group, batch, w_all, fast=False))
+    if Z > P:
+        parts.append(_run_anyhit_region(
+            o4[P:Z], d4[P:Z], tmax3[P:Z], words_s[P:Z], counts_s[P:Z], accel,
+            t_min, interpret, group, batch, w_all, fast=True))
+    if n_tiles > Z:
+        parts.append(jnp.zeros((n_tiles - Z, tr), bool))
+    occ = jnp.concatenate(parts)[inv]
+    return occ, excess, (need_split, need_zero)
 
 
 def recover_hit(scene, ray: Ray, bt, gid, accel: ClusterAccel, t_min=T_MIN) -> Hit:

@@ -55,7 +55,27 @@ from tracer.bvh.cull import cull_clusters_sorted, CLUSTER_BITS, WORD_INVALID
 from tracer.core.types import Ray, Hit, T_FAR
 from tracer.kernels.traversal import tile_rays, untile, _homog, T_MIN
 from tracer.kernels.traversal2 import (
-    _cluster_t, _ray_rows, _slab_enter, _pad_w, _boxes, recover_hit)
+    _cluster_t, _ray_rows, _slab_enter, recover_hit)
+
+
+def _pad_w(tri_w):
+    """(Ncl, 4, 3C) -> (Ncl, 8, 3C) zero-padded sublane tiles. Local to the
+    parked v3 design: its BlockSpec streams one cluster block per pair, so
+    it keeps the one-cluster-per-tile layout (traversal2 moved to a packed
+    two-clusters-per-tile layout its kernels unpack with _w_half)."""
+    import jax.numpy as jnp
+
+    n_cl, rows, w3c = tri_w.shape
+    return jnp.concatenate(
+        [tri_w, jnp.zeros((n_cl, 8 - rows, w3c), tri_w.dtype)], axis=1)
+
+
+def _boxes(accel):
+    """(Ncl, 8) scalar table: lo.xyz, hi.xyz, pad, pad (v3-local)."""
+    import jax.numpy as jnp
+
+    z = jnp.zeros((accel.num_clusters, 2), accel.cluster_lo.dtype)
+    return jnp.concatenate([accel.cluster_lo, accel.cluster_hi, z], axis=1)
 
 import numpy as _np
 

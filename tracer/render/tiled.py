@@ -30,7 +30,8 @@ from tracer.core.camera import Camera, generate_rays
 from tracer.core.types import Ray, Hit, T_FAR, RAY_EPS, normalize
 from tracer.kernels.traversal import tile_rays, untile, generate_rays_tiled
 from tracer.kernels.traversal2 import (
-    trace_tiles_sorted, any_hit_tiles_sorted, DEFAULT_K, T_MIN)
+    trace_tiles_sorted, trace_tiles_split, any_hit_tiles_sorted,
+    any_hit_tiles_split, DEFAULT_K, T_MIN)
 from tracer.render.whitted import WhittedConfig
 
 
@@ -58,32 +59,38 @@ def mt_from_edges(o, d, v0, e1, e2, t_min=T_MIN, eps=1e-12, bary_eps=1e-5):
     return t, u, v, hit
 
 
-def _trace_rows(accel: ClusterAccel, o_t, d_t, k_cap, s_cap, interpret):
-    """Kernel selection pass -> (gid, rows, excess). All kernel inputs are
-    stop-gradiented; gradients flow through the row recompute instead."""
+def _trace_rows(accel: ClusterAccel, o_t, d_t, k_cap, s_cap, split,
+                interpret):
+    """Kernel selection pass -> (gid, rows, excess, need, split_need). All
+    kernel inputs are stop-gradiented; gradients flow through the row
+    recompute instead. `split` = (generic, nonzero) static tile partition
+    for the three-tier closest pass (trace_tiles_split)."""
     sg = jax.lax.stop_gradient
     accel_sg = sg(accel)
     words, counts, excess, need = cull_clusters_sorted2(
         accel_sg, sg(o_t), sg(d_t), T_FAR, k_cap, s_cap)
-    _bt, gid = trace_tiles_sorted(sg(o_t), sg(d_t), accel_sg, words, counts,
-                                  interpret=interpret)
+    _bt, gid, t_excess, split_need = trace_tiles_split(
+        sg(o_t), sg(d_t), accel_sg, words, counts, split[0], split[1],
+        interpret=interpret)
     rows = accel.shade[jnp.maximum(gid, 0)]  # (Nt, TR, SHADE_COLS)
-    return gid, rows, excess, need
+    return gid, rows, excess + t_excess, need, split_need
 
 
-def _occluded(accel: ClusterAccel, o_t, d_t, t_max_t, k_cap, s_cap, interpret):
+def _occluded(accel: ClusterAccel, o_t, d_t, t_max_t, k_cap, s_cap, split,
+              interpret):
     sg = jax.lax.stop_gradient
     accel_sg = sg(accel)
     o_t, d_t, t_max_t = sg(o_t), sg(d_t), sg(t_max_t)
     words, counts, excess, need = cull_clusters_sorted2(
         accel_sg, o_t, d_t, t_max_t, k_cap, s_cap)
-    occ = any_hit_tiles_sorted(o_t, d_t, t_max_t, accel_sg, words, counts,
-                               interpret=interpret)
-    return occ, excess, need
+    occ, t_excess, split_need = any_hit_tiles_split(
+        o_t, d_t, t_max_t, accel_sg, words, counts, split[0], split[1],
+        interpret=interpret)
+    return occ, excess + t_excess, need, split_need
 
 
 def _segment_occluded(accel: ClusterAccel, light_pos, p_t, eps_t, k_cap,
-                      s_cap, interpret):
+                      s_cap, split, interpret):
     """Occlusion of the segment light<->p, traced FROM THE LIGHT.
 
     Shadow rays share the light as a common origin, so the per-tile frustum
@@ -103,9 +110,10 @@ def _segment_occluded(accel: ClusterAccel, light_pos, p_t, eps_t, k_cap,
     t_max_t = 1.0 - eps_t / seg_len
     words, counts, excess, need = cull_clusters_sorted2(
         accel_sg, o_t, d_t, t_max_t, k_cap, s_cap)
-    occ = any_hit_tiles_sorted(o_t, d_t, t_max_t, accel_sg, words, counts,
-                               interpret=interpret)
-    return occ, excess, need
+    occ, t_excess, split_need = any_hit_tiles_split(
+        o_t, d_t, t_max_t, accel_sg, words, counts, split[0], split[1],
+        interpret=interpret)
+    return occ, excess + t_excess, need, split_need
 
 
 # Closest-hit candidate cap: primary/bounce frusta are tight (p99 ~ 24 on
@@ -123,7 +131,9 @@ def render_tiled(scene, accel: ClusterAccel, camera: Camera,
                  height: int, width: int, cfg: WhittedConfig,
                  k_cap: int = DEFAULT_K, tr: int = 64,
                  interpret: bool = False, with_aux: bool = False,
-                 k_closest: int = K_CLOSEST, s_cap: int = S_CAP):
+                 k_closest: int = K_CLOSEST, s_cap: int = S_CAP,
+                 closest_split: tuple[int, int] | None = None,
+                 shadow_split: tuple[int, int] | None = None):
     # tr=64 (8x8-pixel tiles): measured 2.4x faster than 16x16 at 1080p —
     # tighter tile frusta cut candidates/tile 5x (mean 18.3 -> 3.5), which
     # outweighs the 4x tile count; VPU blocks stay full at (64, 384).
@@ -140,7 +150,16 @@ def render_tiled(scene, accel: ClusterAccel, camera: Camera,
     need_closest = jnp.int32(0)
     need_shadow = jnp.int32(0)
     need_s = jnp.int32(0)
+    need_split = jnp.int32(0)
+    need_zero = jnp.int32(0)
+    need_sh_split = jnp.int32(0)
+    need_sh_zero = jnp.int32(0)
     o_t, d_t, tiling = generate_rays_tiled(camera, height, width, tr)
+    n_tiles = o_t.shape[0]
+    # Default split = everything in the generic tier (always correct); the
+    # API's sizing pass measures the count distribution and narrows it.
+    split = closest_split if closest_split is not None else (n_tiles, n_tiles)
+    sh_split = shadow_split if shadow_split is not None else (n_tiles, n_tiles)
 
     sky = jnp.asarray(cfg.sky_color, jnp.float32)
     shape = o_t.shape[:2]
@@ -149,10 +168,13 @@ def render_tiled(scene, accel: ClusterAccel, camera: Camera,
     live = jnp.ones(shape, bool)
 
     for bounce in range(cfg.max_bounces):
-        gid, rows, exc, need = _trace_rows(accel, o_t, d_t, kc, s_cap, interpret)
+        gid, rows, exc, need, sneed = _trace_rows(accel, o_t, d_t, kc, s_cap,
+                                                  split, interpret)
         overflow = overflow + exc
         need_closest = jnp.maximum(need_closest, need[0])
         need_s = jnp.maximum(need_s, need[1])
+        need_split = jnp.maximum(need_split, sneed[0])
+        need_zero = jnp.maximum(need_zero, sneed[1])
         v0 = rows[..., 0:3]
         e1 = rows[..., 3:6]
         e2 = rows[..., 6:9]
@@ -189,12 +211,14 @@ def render_tiled(scene, accel: ClusterAccel, camera: Camera,
             # so they don't fatten the shadow frusta or cost kernel work.
             lit = valid & (cos > 0.0)
             target = jnp.where(lit[..., None], p + n * RAY_EPS, lpos)
-            occ, exc, need = _segment_occluded(accel, lpos, target,
-                                               jnp.float32(RAY_EPS), k, s_cap,
-                                               interpret)
+            occ, exc, need, sneed = _segment_occluded(
+                accel, lpos, target, jnp.float32(RAY_EPS), k, s_cap,
+                sh_split, interpret)
             overflow = overflow + exc
             need_shadow = jnp.maximum(need_shadow, need[0])
             need_s = jnp.maximum(need_s, need[1])
+            need_sh_split = jnp.maximum(need_sh_split, sneed[0])
+            need_sh_zero = jnp.maximum(need_sh_zero, sneed[1])
             vis = jnp.where(occ | ~lit, 0.0, 1.0)
             irr = (cos * vis / jnp.maximum(dist2, 1e-20))[..., None] * lint
             direct = direct + albedo / jnp.pi * irr
@@ -214,5 +238,8 @@ def render_tiled(scene, accel: ClusterAccel, camera: Camera,
     img = untile(radiance, tiling)
     if with_aux:
         return img, {"overflow": overflow, "need_closest": need_closest,
-                     "need_shadow": need_shadow, "need_s": need_s}
+                     "need_shadow": need_shadow, "need_s": need_s,
+                     "need_split": need_split, "need_zero": need_zero,
+                     "need_sh_split": need_sh_split,
+                     "need_sh_zero": need_sh_zero}
     return img
