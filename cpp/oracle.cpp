@@ -230,7 +230,8 @@ static inline V3 load3(const float* p) { return {p[0], p[1], p[2]}; }
 extern "C" int oracle_render(
     const float* verts, int n_verts, const int32_t* tris, int n_tris,
     const int32_t* mat_id, const float* albedo, const float* emission,
-    const float* mirror, const float* normals, const float* light_pos,
+    const float* mirror, const float* specular, const float* shininess,
+    const float* normals, const float* light_pos,
     const float* light_int, int n_lights, const float* cam /* pos3 lookat3
     up3 fov_y_rad */, int height, int width, int max_bounces, int smooth,
     const float* sky_color, float ambient, float* out) {
@@ -284,8 +285,16 @@ extern "C" int oracle_render(
           V3 so = p + RAY_EPS * n;
           double vis =
               bvh.occluded(so, wi, RAY_EPS, dist - 2 * RAY_EPS) ? 0.0 : 1.0;
-          double w = cos * vis / std::max(dist * dist, 1e-20) / M_PI;
-          direct = direct + w * (alb * load3(light_int + 3 * li));
+          // Lambert + Phong lobe (mirrors render/whitted.phong_specular).
+          V3 r = d - 2.0 * dot(d, n) * n;
+          double cos_r = std::max(dot(r, wi), 0.0);
+          double ks = specular[m];
+          double ph = (ks > 0.0 && cos_r > 0.0)
+                          ? ks * std::pow(cos_r, (double)shininess[m])
+                          : 0.0;
+          double falloff = vis / std::max(dist * dist, 1e-20);
+          V3 brdf = (cos / M_PI) * alb + V3{ph, ph, ph};
+          direct = direct + falloff * (brdf * load3(light_int + 3 * li));
         }
         V3 local = load3(emission + 3 * m) + (double)ambient * alb + direct;
         double mir = mirror[m];

@@ -41,7 +41,8 @@ SUPER_FACTOR = 16
 # Packed per-slot shading row layout (SHADE_COLS columns, fp32):
 #   0:3  v0    3:6  e1     6:9  e2      (edges: MT uv/t recompute, flat normal)
 #   9:12 n0   12:15 n1    15:18 n2      (vertex shading normals)
-#  18:21 albedo   21:24 emission   24 mirror   25 valid(1/0)   26:32 pad
+#  18:21 albedo   21:24 emission   24 mirror   25 valid(1/0)
+#  26 specular (Phong ks)   27 shininess   28:32 pad
 # Rows are in SORTED slot order (cluster*C + slot) so the traversal kernel's
 # gid indexes the table directly with ONE wide gather — replacing the ~10
 # narrow gathers (tris->verts->normals->materials) of the naive shading path,
@@ -152,10 +153,14 @@ def build_clusters(verts: jax.Array, tris: jax.Array, cluster_size: int = CLUSTE
         albedo = scene.materials.albedo[mat] * vm
         emission = scene.materials.emission[mat] * vm
         mirror = (scene.materials.mirror[mat])[:, None] * vm[:, 0:1]
+        spec = (scene.materials.specular[mat])[:, None] * vm[:, 0:1]
+        shin = (scene.materials.shininess[mat])[:, None] * vm[:, 0:1]
         cols += [n0, n1, n2, albedo, emission, mirror]
     else:
+        spec = shin = jnp.zeros((n_pad, 1), verts.dtype)
         cols += [jnp.zeros((n_pad, 16), verts.dtype)]
     cols.append(vm[:, 0:1])  # valid flag (col 25)
+    cols += [spec, shin]     # cols 26, 27
     shade = jnp.concatenate(cols, axis=1)
     shade = jnp.concatenate(
         [shade, jnp.zeros((n_pad, SHADE_COLS - shade.shape[1]), verts.dtype)], axis=1)

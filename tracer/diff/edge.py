@@ -167,6 +167,10 @@ def render_diff(scene: Scene, ray: Ray, cfg: WhittedConfig,
         albedo = scene.materials.albedo[mat]
         emission = scene.materials.emission[mat]
         mirror = scene.materials.mirror[mat][..., None]
+        spec = scene.materials.specular[mat]
+        shin = scene.materials.shininess[mat]
+
+        from tracer.render.whitted import phong_specular
 
         direct = jnp.zeros_like(p)
         for li in range(scene.lights.count):
@@ -181,8 +185,10 @@ def render_diff(scene: Scene, ray: Ray, cfg: WhittedConfig,
             occ = soft_any_hit(sray, scene.verts, scene.tris,
                                dist - 2 * RAY_EPS, edge_eps)
             vis = (1.0 - occ) * valid
-            irr = (cos * vis / jnp.maximum(dist2, 1e-20))[..., None] * lint
-            direct = direct + albedo / jnp.pi * irr
+            falloff = (vis / jnp.maximum(dist2, 1e-20))[..., None] * lint
+            brdf = (albedo / jnp.pi * cos[..., None]
+                    + phong_specular(ray.d, n, wi, spec, shin)[..., None])
+            direct = direct + brdf * falloff
 
         local = emission + albedo * cfg.ambient + direct
         # Edge-aware hit-vs-sky blending on the primary wavefront.

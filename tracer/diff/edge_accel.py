@@ -177,6 +177,10 @@ def render_diff_accel(scene, ray: Ray, cfg: WhittedConfig, edge_eps: float = 1e-
         albedo = scene.materials.albedo[mat]
         emission = scene.materials.emission[mat]
         mirror = scene.materials.mirror[mat][..., None]
+        spec = scene.materials.specular[mat]
+        shin = scene.materials.shininess[mat]
+
+        from tracer.render.whitted import phong_specular
 
         direct = jnp.zeros_like(p)
         for li in range(scene.lights.count):
@@ -193,8 +197,10 @@ def render_diff_accel(scene, ray: Ray, cfg: WhittedConfig, edge_eps: float = 1e-
             occ = soft_any_hit_accel(sray, accel, hard_occ, t_max, edge_eps,
                                      k_edge)
             vis = (1.0 - occ) * valid
-            irr = (cos * vis / jnp.maximum(dist2, 1e-20))[..., None] * lint
-            direct = direct + albedo / jnp.pi * irr
+            falloff = (vis / jnp.maximum(dist2, 1e-20))[..., None] * lint
+            brdf = (albedo / jnp.pi * cos[..., None]
+                    + phong_specular(ray.d, n, wi, spec, shin)[..., None])
+            direct = direct + brdf * falloff
 
         local = emission + albedo * cfg.ambient + direct
         alpha = soft_coverage_accel(ray, accel, hit.valid, edge_eps, k_edge)

@@ -50,7 +50,8 @@ from tracer.render.whitted import WhittedConfig
 from tracer.scene.types import Scene
 
 # Rotating per-triangle payload: v0(3) e1(3) e2(3) n0(3) n1(3) n2(3)
-# albedo(3) emission(3) mirror(1) valid(1) = 26 cols, padded to 32.
+# albedo(3) emission(3) mirror(1) valid(1) specular(1) shininess(1)
+# = 28 cols, padded to 32 (cols 24/25/26/27 match bvh.cluster.SHADE_COLS).
 ROW_COLS = 32
 
 
@@ -68,8 +69,11 @@ def pack_tri_rows(scene: Scene) -> jax.Array:
     alb = scene.materials.albedo[scene.mat_id]
     emi = scene.materials.emission[scene.mat_id]
     mir = scene.materials.mirror[scene.mat_id][:, None]
+    spec = scene.materials.specular[scene.mat_id][:, None]
+    shin = scene.materials.shininess[scene.mat_id][:, None]
     valid = jnp.ones_like(mir)
-    rows = jnp.concatenate([v0, e1, e2, n0, n1, n2, alb, emi, mir, valid], axis=1)
+    rows = jnp.concatenate([v0, e1, e2, n0, n1, n2, alb, emi, mir, valid,
+                            spec, shin], axis=1)
     pad = jnp.zeros((rows.shape[0], ROW_COLS - rows.shape[1]), rows.dtype)
     return jnp.concatenate([rows, pad], axis=1)
 
@@ -398,6 +402,10 @@ def _shade_rows(lights_pos, lights_int, o, d, t, rows, occluder,
     albedo = rows[:, 18:21]
     emission = rows[:, 21:24]
     mirror = rows[:, 24:25]
+    spec = rows[:, 26]
+    shin = rows[:, 27]
+
+    from tracer.render.whitted import phong_specular
 
     direct = jnp.zeros_like(p)
     excess = jnp.int32(0)
@@ -412,8 +420,10 @@ def _shade_rows(lights_pos, lights_int, o, d, t, rows, occluder,
         occ, exc = occluder(p + n * RAY_EPS, wi, dist - 2 * RAY_EPS)
         excess = excess + exc
         vis = jnp.where(occ | ~found, 0.0, 1.0)
-        irr = (cos * vis / jnp.maximum(dist2, 1e-20))[:, None] * lint
-        direct = direct + albedo / jnp.pi * irr
+        falloff = (vis / jnp.maximum(dist2, 1e-20))[:, None] * lint
+        brdf = (albedo / jnp.pi * cos[:, None]
+                + phong_specular(d, n, wi, spec, shin)[:, None])
+        direct = direct + brdf * falloff
 
     local = emission + albedo * cfg.ambient + direct
     return found, p, n, mirror, local, excess

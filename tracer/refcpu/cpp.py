@@ -70,6 +70,7 @@ def _load() -> ctypes.CDLL:
         i32p, ctypes.c_int,          # tris, n_tris
         i32p,                        # mat_id
         f32p, f32p, f32p,            # albedo, emission, mirror
+        f32p, f32p,                  # specular, shininess (Phong)
         f32p,                        # normals
         f32p, f32p, ctypes.c_int,    # light_pos, light_int, n_lights
         f32p,                        # cam[10]
@@ -109,6 +110,8 @@ def cpp_render(scene, camera, height: int, width: int, max_bounces: int = 1,
         c(scene.materials.albedo, np.float32),
         c(scene.materials.emission, np.float32),
         c(scene.materials.mirror, np.float32),
+        c(scene.materials.specular, np.float32),
+        c(scene.materials.shininess, np.float32),
         c(scene.normals, np.float32),
         c(scene.lights.position, np.float32),
         c(scene.lights.intensity, np.float32),

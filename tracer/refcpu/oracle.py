@@ -62,6 +62,8 @@ def cpu_render(scene, camera, height, width, max_bounces=1, smooth_shading=True,
     albedo = np.asarray(scene.materials.albedo, np.float64)
     emission = np.asarray(scene.materials.emission, np.float64)
     mirror = np.asarray(scene.materials.mirror, np.float64)
+    specular = np.asarray(scene.materials.specular, np.float64)
+    shininess = np.asarray(scene.materials.shininess, np.float64)
     lpos = np.asarray(scene.lights.position, np.float64)
     lint = np.asarray(scene.lights.intensity, np.float64)
     v0, v1, v2 = verts[tris[:, 0]], verts[tris[:, 1]], verts[tris[:, 2]]
@@ -108,7 +110,13 @@ def cpu_render(scene, camera, height, width, max_bounces=1, smooth_shading=True,
                     cos = max(np.dot(n, wi), 0.0)
                     so = p + n * RAY_EPS
                     vis = 0.0 if _occluded(so, wi, v0, v1, v2, dist - 2 * RAY_EPS) else 1.0
-                    direct += albedo[m] / np.pi * cos * vis / max(dist * dist, 1e-20) * lint[li]
+                    # Lambert + Phong lobe (render/whitted.phong_specular).
+                    r = d - 2 * np.dot(d, n) * n
+                    cos_r = max(np.dot(r, wi), 0.0)
+                    ph = specular[m] * (cos_r ** shininess[m]) if (
+                        specular[m] > 0.0 and cos_r > 0.0) else 0.0
+                    brdf = albedo[m] / np.pi * cos + ph
+                    direct += brdf * vis / max(dist * dist, 1e-20) * lint[li]
                 local = emission[m] + albedo[m] * ambient + direct
                 color += throughput * local * (1.0 - mirror[m])
                 if bounce + 1 >= max_bounces or mirror[m] <= 0.0:

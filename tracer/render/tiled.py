@@ -32,7 +32,7 @@ from tracer.kernels.traversal import tile_rays, untile, generate_rays_tiled
 from tracer.kernels.traversal2 import (
     trace_tiles_sorted, trace_tiles_split, any_hit_tiles_sorted,
     any_hit_tiles_split, DEFAULT_K, T_MIN)
-from tracer.render.whitted import WhittedConfig
+from tracer.render.whitted import WhittedConfig, phong_specular
 
 
 def mt_from_edges(o, d, v0, e1, e2, t_min=T_MIN, eps=1e-12, bary_eps=1e-5):
@@ -194,6 +194,8 @@ def render_tiled(scene, accel: ClusterAccel, camera: Camera,
         albedo = rows[..., 18:21]
         emission = rows[..., 21:24]
         mirror = rows[..., 24:25]
+        spec = rows[..., 26]
+        shin = rows[..., 27]
 
         # Direct lighting with shadow rays (tiled layout throughout).
         direct = jnp.zeros_like(p)
@@ -220,8 +222,10 @@ def render_tiled(scene, accel: ClusterAccel, camera: Camera,
             need_sh_split = jnp.maximum(need_sh_split, sneed[0])
             need_sh_zero = jnp.maximum(need_sh_zero, sneed[1])
             vis = jnp.where(occ | ~lit, 0.0, 1.0)
-            irr = (cos * vis / jnp.maximum(dist2, 1e-20))[..., None] * lint
-            direct = direct + albedo / jnp.pi * irr
+            falloff = (vis / jnp.maximum(dist2, 1e-20))[..., None] * lint
+            brdf = (albedo / jnp.pi * cos[..., None]
+                    + phong_specular(d_t, n, wi, spec, shin)[..., None])
+            direct = direct + brdf * falloff
 
         local = emission + albedo * cfg.ambient + direct
         miss_contrib = jnp.where((live & ~found)[..., None], sky, 0.0)

@@ -66,15 +66,35 @@ def shading_frame(scene: Scene, ray: Ray, hit: Hit, smooth: bool):
     return p, n, mat
 
 
+def phong_specular(d, n, wi, spec, shin):
+    """Classic Phong lobe: ks * max(0, R . wi)^shininess with R the view
+    ray's mirror direction about the shading normal. `d` is the (unit)
+    incoming ray direction; returns a (...,) scalar weight. Guarded so
+    ks == 0 contributes exactly zero with zero gradient (0^n and pow-grad
+    NaNs at base 0 are both masked). Mirrored verbatim in both oracles
+    (refcpu/oracle.py, cpp/oracle.cpp) — reference parity: SURVEY.md R4
+    "Lambert/Phong direct lighting"."""
+    r = d - 2.0 * jnp.sum(d * n, axis=-1, keepdims=True) * n
+    cos_r = jnp.maximum(jnp.sum(r * wi, axis=-1), 0.0)
+    on = spec > 0.0
+    base = jnp.where(cos_r > 0.0, cos_r, 1.0)  # pow grad is NaN at 0
+    lobe = jnp.where((cos_r > 0.0) & on, base ** shin, 0.0)
+    return spec * lobe
+
+
 def direct_lighting(
     scene: Scene,
     p: jax.Array,
     n: jax.Array,
+    d: jax.Array,
     albedo: jax.Array,
+    spec: jax.Array,
+    shin: jax.Array,
     valid: jax.Array,
     occlude_fn: OccludeFn,
 ) -> jax.Array:
-    """Lambertian direct lighting with shadow rays to every point light.
+    """Lambert + Phong direct lighting with shadow rays to every point
+    light (SURVEY.md R4). `d` is the incoming ray direction (unit).
 
     Python loop over lights (light count is small and static) — each light is
     one dense occlusion wavefront.
@@ -92,8 +112,10 @@ def direct_lighting(
         shadow_origin = p + n * RAY_EPS
         occluded = occlude_fn(Ray(o=shadow_origin, d=wi), dist - 2 * RAY_EPS)
         vis = jnp.where(occluded | ~valid, 0.0, 1.0)
-        irradiance = (cos * vis / jnp.maximum(dist2, 1e-20))[..., None] * lint
-        total = total + albedo / jnp.pi * irradiance
+        falloff = (vis / jnp.maximum(dist2, 1e-20))[..., None] * lint
+        brdf = albedo / jnp.pi * cos[..., None] + phong_specular(
+            d, n, wi, spec, shin)[..., None]
+        total = total + brdf * falloff
     return total
 
 
@@ -131,8 +153,11 @@ def render_wavefront(
         albedo = scene.materials.albedo[mat]
         emission = scene.materials.emission[mat]
         mirror = scene.materials.mirror[mat][..., None]
+        spec = scene.materials.specular[mat]
+        shin = scene.materials.shininess[mat]
 
-        direct = direct_lighting(scene, p, n, albedo, valid, occlude_fn)
+        direct = direct_lighting(scene, p, n, ray.d, albedo, spec, shin,
+                                 valid, occlude_fn)
         local = emission + albedo * cfg.ambient + direct
         # Miss -> sky, weighted by throughput; then the ray dies.
         miss_contrib = jnp.where((live & ~hit.valid)[..., None], sky, 0.0)

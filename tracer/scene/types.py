@@ -32,23 +32,31 @@ class Lights:
 class Materials:
     """Per-material SoA. Indexed by Scene.mat_id.
 
-    albedo:   (M, 3) diffuse reflectance
-    emission: (M, 3) emitted radiance
-    mirror:   (M,)   specular reflectivity in [0,1] (Whitted mirror bounce)
+    albedo:    (M, 3) diffuse reflectance
+    emission:  (M, 3) emitted radiance
+    mirror:    (M,)   specular reflectivity in [0,1] (Whitted mirror bounce)
+    specular:  (M,)   Phong specular coefficient ks (0 = pure Lambert)
+    shininess: (M,)   Phong exponent (reference parity: SURVEY.md R4
+                      reconstructs the reference shading as Lambert/Phong)
     """
 
     albedo: jax.Array
     emission: jax.Array
     mirror: jax.Array
+    specular: jax.Array
+    shininess: jax.Array
 
     @staticmethod
-    def make(albedo, emission=None, mirror=None) -> "Materials":
+    def make(albedo, emission=None, mirror=None, specular=None,
+             shininess=None) -> "Materials":
         albedo = jnp.asarray(albedo, jnp.float32)
         m = albedo.shape[0]
         return Materials(
             albedo=albedo,
             emission=jnp.zeros((m, 3), jnp.float32) if emission is None else jnp.asarray(emission, jnp.float32),
             mirror=jnp.zeros((m,), jnp.float32) if mirror is None else jnp.asarray(mirror, jnp.float32),
+            specular=jnp.zeros((m,), jnp.float32) if specular is None else jnp.asarray(specular, jnp.float32),
+            shininess=jnp.full((m,), 32.0, jnp.float32) if shininess is None else jnp.asarray(shininess, jnp.float32),
         )
 
 
