@@ -76,6 +76,16 @@ def main() -> int:
             detail["grad_preset"] = "bunny-grad"
         except Exception as e:  # pragma: no cover - report, don't fail bench
             detail["grad_step_error"] = str(e)[:200]
+        try:
+            # Spec-scale grad step (BASELINE config 3 at bunny512 size,
+            # all three parameter families): use_pallas=False selects the
+            # differentiable jnp accel tier.
+            g5 = benchmark_grad_step("bunny512", iters=2, warmup=1,
+                                     use_pallas=False,
+                                     params=("verts", "albedo", "cam_pos"))
+            detail["grad_step_bunny512_ms"] = round(g5["grad_step_ms"], 3)
+        except Exception as e:  # pragma: no cover
+            detail["grad_step_512_error"] = str(e)[:200]
     out = {
         "metric": "rays_per_s_per_chip_100ktri_1080p",
         "value": round(result["rays_per_s"], 1),

@@ -320,10 +320,13 @@ def benchmark(config: str | RenderConfig | None = None, iters: int = 10,
 
 
 def benchmark_grad_step(config: str | RenderConfig | None = "bunny-grad",
-                        iters: int = 5, warmup: int = 1, **overrides) -> dict:
+                        iters: int = 5, warmup: int = 1,
+                        params: tuple = ("verts",), **overrides) -> dict:
     """Timed optimization steps (loss+grad+update) -> grad_step_ms.
 
     BASELINE.md requires grad-step time measured and reported per config.
+    `params` selects the optimized leaves: any of "verts", "albedo",
+    "cam_pos" (BASELINE config 3 optimizes all three families).
     """
     import optax
 
@@ -331,7 +334,14 @@ def benchmark_grad_step(config: str | RenderConfig | None = "bunny-grad",
     scene, camera = get_scene(cfg)
     target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
     optimizer = optax.adam(1e-3)
-    params = {"verts": scene.verts}
+    p = {}
+    if "verts" in params:
+        p["verts"] = scene.verts
+    if "albedo" in params:
+        p["albedo"] = jnp.asarray(scene.materials.albedo)
+    if "cam_pos" in params:
+        p["cam_pos"] = jnp.asarray(camera.position)
+    params = p
     opt_state = optimizer.init(params)
     step = make_grad_step_fn(cfg, optimizer)
     for _ in range(max(warmup, 1)):

@@ -225,6 +225,12 @@ def trace_tiles_jnp(o_t, d_t, accel: ClusterAccel, cand, counts, t_min=T_MIN):
         jnp.zeros((n_tiles, tr), jnp.float32) + vary_f,
         jnp.zeros((n_tiles, tr), jnp.float32) + vary_f,
     )
+    # Remat the per-candidate step: without it, reverse-mode AD saves every
+    # step's dense (Ntiles, TR, C) intermediates — k_cap x that tensor was
+    # an 86 GB residual for the bunny512 grad benchmark. Recomputing the
+    # step in the backward pass trades ~2x candidate FLOPs for O(carry)
+    # memory (SURVEY.md: jax.checkpoint to trade FLOPs for HBM).
+    step = jax.checkpoint(step, prevent_cse=False)
     (bt, btri, bu, bv), _ = jax.lax.scan(step, init, jnp.arange(k_cap, dtype=jnp.int32))
     return bt, btri, bu, bv
 
@@ -248,6 +254,9 @@ def any_hit_tiles_jnp(o_t, d_t, t_max_t, accel: ClusterAccel, cand, counts, t_mi
     vary_b = (0.0 * o_t[..., 0] + 0.0 * d_t[..., 0] + 0.0 * t_max_t
               + 0.0 * accel.tri_w.reshape(-1)[0] + 0.0 * counts[:, None]) > 0.0
     occ0 = jnp.zeros((n_tiles, tr), bool) | vary_b
+    # Remat: see trace_tiles_jnp (occlusion is boolean so its cotangents
+    # are zero anyway, but the saved primals still cost k_cap x dense).
+    step = jax.checkpoint(step, prevent_cse=False)
     occ, _ = jax.lax.scan(step, occ0, jnp.arange(k_cap, dtype=jnp.int32))
     return occ
 

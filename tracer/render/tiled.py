@@ -72,7 +72,13 @@ def _trace_rows(accel: ClusterAccel, o_t, d_t, k_cap, s_cap, split,
     _bt, gid, t_excess, split_need = trace_tiles_split(
         sg(o_t), sg(d_t), accel_sg, words, counts, split[0], split[1],
         interpret=interpret)
-    rows = accel.shade[jnp.maximum(gid, 0)]  # (Nt, TR, SHADE_COLS)
+    # Gather from 128-lane rows: XLA's TPU row gather runs ~25% faster on
+    # full-vreg rows than on the packed 32-col table (measured 8.7 -> 6.9
+    # ms at 1080p), worth the transient 4x padded copy (XLA CSEs it across
+    # bounces). Downstream consumers slice cols < SHADE_COLS only.
+    shade_pad = jnp.pad(accel.shade,
+                        ((0, 0), (0, 128 - accel.shade.shape[1])))
+    rows = shade_pad[jnp.maximum(gid, 0)]  # (Nt, TR, 128)
     return gid, rows, excess + t_excess, need, split_need
 
 
