@@ -68,18 +68,21 @@ def main():
     print(f"closest:  {ms:8.2f} ms   hit_frac={float(jnp.mean(bt < T_FAR)):.3f}",
           flush=True)
 
-    from tracer.kernels.traversal2 import trace_tiles_split, DEFAULT_BATCH
+    from tracer.kernels.traversal2 import (
+        trace_tiles_split, FAST_BATCH, FAST_GROUP)
 
+    fb = int(os.environ.get("FB", str(FAST_BATCH)))
+    fg = int(os.environ.get("FG", str(FAST_GROUP)))
     cnp2 = np.asarray(counts)
-    p = int(-(-int((cnp2 > DEFAULT_BATCH).sum() + 8) // 8) * 8)
+    p = int(-(-int((cnp2 > fb).sum() + 8) // 8) * 8)
     z = int(-(-int((cnp2 > 0).sum() + 8) // 8) * 8)
     closest_sp = jax.jit(lambda o, d, a, w, n: trace_tiles_split(
-        o, d, a, w, n, p, z)[:3])
+        o, d, a, w, n, p, z, fast_batch=fb, fast_group=fg)[:3])
     ms = timeit(closest_sp, o_t, d_t, accel, words, counts)
     bt2, gid2, exc = closest_sp(o_t, d_t, accel, words, counts)
     agree = float(jnp.mean((gid2 == gid)))
-    print(f"closest-split: {ms:5.2f} ms  P={p} Z={z} excess={int(exc)} "
-          f"agree={agree:.4f}", flush=True)
+    print(f"closest-split: {ms:5.2f} ms  P={p} Z={z} fb={fb} fg={fg} "
+          f"excess={int(exc)} agree={agree:.4f}", flush=True)
 
     shade_gather = jax.jit(lambda a, g: a.shade[jnp.maximum(g, 0)])
     ms = timeit(shade_gather, accel, gid)

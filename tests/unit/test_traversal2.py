@@ -122,7 +122,7 @@ def test_split_matches_full_generic(bunny):
     from tracer.bvh.cull import cull_clusters_sorted2
     from tracer.kernels.traversal import tile_rays
     from tracer.kernels.traversal2 import (
-        trace_tiles_sorted, trace_tiles_split, DEFAULT_BATCH)
+        trace_tiles_sorted, trace_tiles_split, FAST_BATCH)
 
     scene, cam = bunny
     rays = generate_rays(cam, 64, 64)
@@ -134,7 +134,7 @@ def test_split_matches_full_generic(bunny):
                                          interpret=True)
 
     c = np.asarray(counts)
-    need_split = int((c > DEFAULT_BATCH).sum())
+    need_split = int((c > FAST_BATCH).sum())
     need_zero = int((c > 0).sum())
     bt, gid, excess, needs = trace_tiles_split(
         o_t, d_t, accel, words, counts, need_split + 8, need_zero + 8,
@@ -148,37 +148,4 @@ def test_split_matches_full_generic(bunny):
     assert need_split > 8, "fixture too small to starve"
     _, _, excess2, _ = trace_tiles_split(
         o_t, d_t, accel, words, counts, 0, need_zero + 8, interpret=True)
-    assert int(excess2) > 0
-
-
-def test_anyhit_split_matches_full_generic(bunny):
-    """any_hit_tiles_split == any_hit_tiles_sorted under an honest
-    partition; a starved partition reports nonzero excess."""
-    from tracer.bvh.cull import cull_clusters_sorted2
-    from tracer.kernels.traversal import tile_rays
-    from tracer.kernels.traversal2 import (
-        any_hit_tiles_sorted, any_hit_tiles_split, DEFAULT_BATCH)
-
-    scene, cam = bunny
-    rays = generate_rays(cam, 64, 64)
-    accel = build_clusters(scene.verts, scene.tris, cluster_size=32)
-    o_t, d_t, _ = tile_rays(rays.o, rays.d, 64)
-    tm = jnp.full(o_t.shape[:2], 10.0, jnp.float32)
-    k = max(8, -(-min(64, accel.num_clusters) // 8) * 8)
-    words, counts, _, _ = cull_clusters_sorted2(accel, o_t, d_t, tm, k)
-    ref = any_hit_tiles_sorted(o_t, d_t, tm, accel, words, counts,
-                               interpret=True)
-
-    c = np.asarray(counts)
-    need_split = int((c > DEFAULT_BATCH).sum())
-    need_zero = int((c > 0).sum())
-    occ, excess, needs = any_hit_tiles_split(
-        o_t, d_t, tm, accel, words, counts, need_split + 8, need_zero + 8,
-        interpret=True)
-    assert int(excess) == 0
-    assert int(needs[0]) == need_split and int(needs[1]) == need_zero
-    np.testing.assert_array_equal(np.asarray(occ), np.asarray(ref))
-
-    _, excess2, _ = any_hit_tiles_split(
-        o_t, d_t, tm, accel, words, counts, 0, 0, interpret=True)
     assert int(excess2) > 0

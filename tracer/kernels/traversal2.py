@@ -233,33 +233,6 @@ def _closest_fast_kernel(k_cap, c, t_min, g_sz, batch, n_cl, words, counts,
         bid_ref[g] = bid
 
 
-def _anyhit_fast_kernel(k_cap, c, t_min, g_sz, batch, n_cl, words, counts,
-                        o4_ref, d4_ref, tmax_ref, w_ref, occ_ref):
-    """Straight-line occlusion for tiles with count <= batch: `batch`
-    unconditional dense any-hit tests, no while_loop, no group bound syncs,
-    no scratch (the _closest_fast_kernel counterpart; same wrong-tile /
-    surfaced-excess contract)."""
-    i = pl.program_id(0)
-    tr = o4_ref.shape[1]
-    for g in range(g_sz):
-        tile = i * g_sz + g
-        o4 = o4_ref[g]
-        d4 = d4_ref[g]
-        tmax_col = tmax_ref[g]  # (TR, 1)
-        n = counts[tile]
-        base = tile * k_cap
-        occ = jnp.zeros((tr, 1), jnp.float32)
-        for j in range(batch):
-            word = words[base + j]
-            cl = jnp.minimum(word & _CL_MASK, n_cl - 1)
-            live = j < n
-            w = _w_half(w_ref, cl)
-            tv = _cluster_t(o4, d4, w, c, t_min, tmax_col)
-            hit_any = (jnp.min(tv, axis=-1, keepdims=True) < T_FAR) & live
-            occ = jnp.maximum(occ, hit_any.astype(jnp.float32))
-        occ_ref[g] = occ.reshape(1, tr)
-
-
 def _anyhit_kernel(k_cap, c, t_min, g_sz, batch, n_cl, approx, words, counts,
                    o4_ref, d4_ref, tmax_ref, w_ref, occ_ref, occC_ref):
     """Occlusion kernel: LOCKSTEP tile groups (see _closest_kernel).
@@ -479,14 +452,24 @@ def _round_group(v: int, group: int) -> int:
     return -(-v // group) * group
 
 
+# Fast-tier shape: candidates per tile handled by the straight-line kernel
+# and tiles per grid step. batch=1 covers count<=1 (the p50 regime) with
+# half the unconditional dense work of batch=2; a larger group amortizes
+# per-grid-step pipeline machinery over the tiny straight-line bodies.
+FAST_BATCH = 1
+FAST_GROUP = 8
+
+
 def trace_tiles_split(o_t, d_t, accel: ClusterAccel, words, counts,
                       split: int, zero_split: int,
                       t_min=T_MIN, interpret: bool = False,
-                      group: int = DEFAULT_GROUP, batch: int = DEFAULT_BATCH):
+                      group: int = DEFAULT_GROUP, batch: int = DEFAULT_BATCH,
+                      fast_batch: int = FAST_BATCH,
+                      fast_group: int = FAST_GROUP):
     """Three-tier closest-hit over count-sorted tiles:
 
       [0, split)           generic while-loop kernel (heavy tiles);
-      [split, zero_split)  straight-line fast kernel (count <= batch);
+      [split, zero_split)  straight-line fast kernel (count <= fast_batch);
       [zero_split, Ntiles) no kernel at all — miss constants (count == 0).
 
     `split`/`zero_split` are STATIC partition points (rounded to `group`);
@@ -504,15 +487,15 @@ def trace_tiles_split(o_t, d_t, accel: ClusterAccel, words, counts,
     words_s, counts_s = words[order], counts[order]
     w_all = _pad_w(accel.tri_w)
 
-    P = min(_round_group(max(split, 0), group), _round_group(n_tiles, group))
-    Z = min(_round_group(max(zero_split, P), group),
-            _round_group(n_tiles, group))
+    gr = max(group, fast_group)
+    P = min(_round_group(max(split, 0), gr), _round_group(n_tiles, gr))
+    Z = min(_round_group(max(zero_split, P), gr), _round_group(n_tiles, gr))
     P = min(P, n_tiles)
     Z = min(Z, n_tiles)
 
-    need_split = jnp.sum(counts > batch)
+    need_split = jnp.sum(counts > fast_batch)
     need_zero = jnp.sum(counts > 0)
-    excess = (jnp.sum(counts_s[P:] > batch) + jnp.sum(counts_s[Z:] > 0)
+    excess = (jnp.sum(counts_s[P:] > fast_batch) + jnp.sum(counts_s[Z:] > 0)
               ).astype(jnp.int32)
 
     parts_bt, parts_bid = [], []
@@ -525,7 +508,7 @@ def trace_tiles_split(o_t, d_t, accel: ClusterAccel, words, counts,
     if Z > P:
         bt_f, bid_f = _run_fast_region(
             o4[P:Z], d4[P:Z], words_s[P:Z], counts_s[P:Z], accel, t_min,
-            interpret, group, batch, w_all)
+            interpret, fast_group, fast_batch, w_all)
         parts_bt.append(bt_f)
         parts_bid.append(bid_f)
     if n_tiles > Z:
@@ -543,7 +526,7 @@ def any_hit_tiles_sorted(o_t, d_t, t_max_t, accel: ClusterAccel, words, counts,
     o4, d4, tmax3, order, inv, words_s, counts_s, w_all = _anyhit_prep(
         o_t, d_t, t_max_t, accel, words, counts)
     occ = _run_anyhit_region(o4, d4, tmax3, words_s, counts_s, accel, t_min,
-                             interpret, group, batch, w_all, fast=False)
+                             interpret, group, batch, w_all)
     return occ[inv]
 
 
@@ -562,17 +545,18 @@ def _anyhit_prep(o_t, d_t, t_max_t, accel, words, counts):
 
 
 def _run_anyhit_region(o4, d4, tmax3, words, counts, accel, t_min, interpret,
-                       group, batch, w_all, fast: bool):
+                       group, batch, w_all):
     """Chunked pallas_call over a pre-sorted tile slice -> (n, TR) bool.
-    fast=True runs the straight-line count<=batch kernel (words sliced to
-    the first 8-aligned batch entries so SMEM stays tiny)."""
+
+    NOTE: a three-tier split (no-while fast kernel + zero fill, mirroring
+    trace_tiles_split) was built and measured 8% SLOWER than this single
+    lockstep pass (47.7 vs 44.2 ms at 1080p/100k): the G=8 lockstep
+    while_loop already costs ~nothing for small/zero-count groups (n_max
+    of the sorted group bounds the loop), so the split only added launch
+    and reassembly overhead. Removed; see PERF_NOTES.md."""
     n_tiles, tr, _ = o4.shape
     c = accel.cluster_size
-    if fast:
-        k_cap = max(8, -(-batch // 8) * 8)
-        words = words[:, :k_cap]
-    else:
-        k_cap = words.shape[1]
+    k_cap = words.shape[1]
     ch, n_chunks = _chunk(n_tiles, k_cap, group)
 
     def call(o4c, d4c, tmc, wordsc, countsc):
@@ -583,14 +567,9 @@ def _run_anyhit_region(o4, d4, tmax3, words, counts, accel, t_min, interpret,
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ]
         out_specs = [pl.BlockSpec((group, 1, tr), lambda i, *_: (i, 0, 0))]
-        if fast:
-            body = functools.partial(_anyhit_fast_kernel, k_cap, c, t_min,
-                                     group, batch, accel.num_clusters)
-            scratch = []
-        else:
-            body = functools.partial(_anyhit_kernel, k_cap, c, t_min, group,
-                                     batch, accel.num_clusters, False)
-            scratch = [pltpu.VMEM((group, tr, 1), jnp.float32)]
+        body = functools.partial(_anyhit_kernel, k_cap, c, t_min, group,
+                                 batch, accel.num_clusters, False)
+        scratch = [pltpu.VMEM((group, tr, 1), jnp.float32)]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(o4c.shape[0] // group,),
@@ -621,45 +600,6 @@ def _run_anyhit_region(o4, d4, tmax3, words, counts, accel, t_min, interpret,
          tmc.reshape(n_chunks, ch, tr, 1),
          wordsc.reshape(n_chunks, ch, k_cap), countsc.reshape(n_chunks, ch)))
     return occ[:, :, 0, :].reshape(n_pad, tr)[:n_tiles] != 0
-
-
-def any_hit_tiles_split(o_t, d_t, t_max_t, accel: ClusterAccel, words, counts,
-                        split: int, zero_split: int,
-                        t_min=T_MIN, interpret: bool = False,
-                        group: int = DEFAULT_GROUP,
-                        batch: int = DEFAULT_BATCH):
-    """Three-tier occlusion over count-sorted tiles (the any-hit
-    counterpart of trace_tiles_split; same static-partition /
-    surfaced-excess contract). Returns
-    (occ (Ntiles, TR) bool, excess, (need_split, need_zero))."""
-    n_tiles, tr, _ = o_t.shape
-    o4, d4, tmax3, order, inv, words_s, counts_s, w_all = _anyhit_prep(
-        o_t, d_t, t_max_t, accel, words, counts)
-
-    P = min(_round_group(max(split, 0), group), _round_group(n_tiles, group))
-    Z = min(_round_group(max(zero_split, P), group),
-            _round_group(n_tiles, group))
-    P = min(P, n_tiles)
-    Z = min(Z, n_tiles)
-
-    need_split = jnp.sum(counts > batch)
-    need_zero = jnp.sum(counts > 0)
-    excess = (jnp.sum(counts_s[P:] > batch) + jnp.sum(counts_s[Z:] > 0)
-              ).astype(jnp.int32)
-
-    parts = []
-    if P > 0:
-        parts.append(_run_anyhit_region(
-            o4[:P], d4[:P], tmax3[:P], words_s[:P], counts_s[:P], accel,
-            t_min, interpret, group, batch, w_all, fast=False))
-    if Z > P:
-        parts.append(_run_anyhit_region(
-            o4[P:Z], d4[P:Z], tmax3[P:Z], words_s[P:Z], counts_s[P:Z], accel,
-            t_min, interpret, group, batch, w_all, fast=True))
-    if n_tiles > Z:
-        parts.append(jnp.zeros((n_tiles - Z, tr), bool))
-    occ = jnp.concatenate(parts)[inv]
-    return occ, excess, (need_split, need_zero)
 
 
 def recover_hit(scene, ray: Ray, bt, gid, accel: ClusterAccel, t_min=T_MIN) -> Hit:
