@@ -102,13 +102,19 @@ def _segment_occluded(accel: ClusterAccel, light_pos, p_t, eps_t, k_cap,
 
     Shadow rays share the light as a common origin, so the per-tile frustum
     is a tight cone (like primary rays from the camera) instead of the fat
-    interval hull a surface-origin wavefront produces — the cull stays as
-    sharp as the primary pass (measured: mean candidates 75 -> ~20 on the
-    100k-tri bench scene, and no k_cap overflow). The segment is
+    interval hull a surface-origin wavefront produces. The segment is
     parameterized o = light, d = p - light, t in (t_min, 1 - eps_rel): the
     direction is intentionally unnormalized so t_max == 1 uniformly.
     `eps_t` is the absolute surface offset (RAY_EPS-scale) to exclude the
-    receiving surface itself at t ~ 1."""
+    receiving surface itself at t ~ 1.
+
+    NOT re-tiled by target position: morton-sorting the 2M segment targets
+    cuts the shadow candidate mass 34% (mean 5.4 -> 3.5, p99 96 -> 29) but
+    measured net SLOWER end to end — 130 ms/frame with argsort + gathers
+    (XLA row gather ~25 GB/s), still 107 vs 101 ms with gather-free
+    multi-operand lax.sorts: the any-hit kernel's cost is more per-tile
+    than per-candidate, so the saved dense work doesn't repay even a few
+    ms of sorting. See PERF_NOTES.md."""
     sg = jax.lax.stop_gradient
     accel_sg = sg(accel)
     o_t = jnp.broadcast_to(light_pos, p_t.shape)
