@@ -73,16 +73,19 @@ def main():
 
     fb = int(os.environ.get("FB", str(FAST_BATCH)))
     fg = int(os.environ.get("FG", str(FAST_GROUP)))
+    gb = int(os.environ.get("GB", "2"))   # generic-region batch
+    gg = int(os.environ.get("GG", "8"))   # generic-region group
     cnp2 = np.asarray(counts)
     p = int(-(-int((cnp2 > fb).sum() + 8) // 8) * 8)
     z = int(-(-int((cnp2 > 0).sum() + 8) // 8) * 8)
     closest_sp = jax.jit(lambda o, d, a, w, n: trace_tiles_split(
-        o, d, a, w, n, p, z, fast_batch=fb, fast_group=fg)[:3])
+        o, d, a, w, n, p, z, batch=gb, group=gg,
+        fast_batch=fb, fast_group=fg)[:3])
     ms = timeit(closest_sp, o_t, d_t, accel, words, counts)
     bt2, gid2, exc = closest_sp(o_t, d_t, accel, words, counts)
     agree = float(jnp.mean((gid2 == gid)))
     print(f"closest-split: {ms:5.2f} ms  P={p} Z={z} fb={fb} fg={fg} "
-          f"excess={int(exc)} agree={agree:.4f}", flush=True)
+          f"gb={gb} gg={gg} excess={int(exc)} agree={agree:.4f}", flush=True)
 
     shade_gather = jax.jit(lambda a, g: a.shade[jnp.maximum(g, 0)])
     ms = timeit(shade_gather, accel, gid)
@@ -104,9 +107,12 @@ def main():
     print(f"s-cull2:  {ms:8.2f} ms   count mean={c2np.mean():.1f} "
           f"max={c2np.max()}", flush=True)
 
-    anyhit = jax.jit(lambda o, d, t, a, w, c: any_hit_tiles_sorted(o, d, t, a, w, c))
+    ab = int(os.environ.get("AB", "2"))   # any-hit batch
+    ag = int(os.environ.get("AG", "8"))   # any-hit group
+    anyhit = jax.jit(lambda o, d, t, a, w, c: any_hit_tiles_sorted(
+        o, d, t, a, w, c, group=ag, batch=ab))
     ms = timeit(anyhit, so, sd, tm, accel, w2, c2)
-    print(f"anyhit:   {ms:8.2f} ms", flush=True)
+    print(f"anyhit:   {ms:8.2f} ms   ab={ab} ag={ag}", flush=True)
 
     run = make_render_fn(scene, cfg)
     ms = timeit(run, scene, camera)

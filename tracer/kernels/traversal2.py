@@ -311,8 +311,14 @@ def _w_half(w_ref, cl):
 
 DEFAULT_GROUP = 8
 # Candidates intersected per while_loop iteration (between early-out checks).
-# B=2 measured fastest on the 100k-tri bench scene (B=1: +25%, B=8: +45%).
+# B=2 measured fastest for a FULL-range closest pass (p50 == 1 tiles
+# included; B=1: +25%, B=8: +45%). With the three-tier split absorbing the
+# small tiles, the count>1 generic region prefers B=3 and the any-hit
+# lockstep prefers B=4 (r4 sweep: closest-split 46.5 -> 42.3 ms, any-hit
+# 44.8 -> 40.3; B=6 regresses both).
 DEFAULT_BATCH = 2
+SPLIT_BATCH = 3
+ANYHIT_BATCH = 4
 
 
 def _chunk(n_tiles: int, k_cap: int, group: int):
@@ -463,7 +469,7 @@ FAST_GROUP = 8
 def trace_tiles_split(o_t, d_t, accel: ClusterAccel, words, counts,
                       split: int, zero_split: int,
                       t_min=T_MIN, interpret: bool = False,
-                      group: int = DEFAULT_GROUP, batch: int = DEFAULT_BATCH,
+                      group: int = DEFAULT_GROUP, batch: int = SPLIT_BATCH,
                       fast_batch: int = FAST_BATCH,
                       fast_group: int = FAST_GROUP):
     """Three-tier closest-hit over count-sorted tiles:
@@ -521,7 +527,7 @@ def trace_tiles_split(o_t, d_t, accel: ClusterAccel, words, counts,
 
 def any_hit_tiles_sorted(o_t, d_t, t_max_t, accel: ClusterAccel, words, counts,
                          t_min=T_MIN, interpret: bool = False,
-                         group: int = DEFAULT_GROUP, batch: int = DEFAULT_BATCH):
+                         group: int = DEFAULT_GROUP, batch: int = ANYHIT_BATCH):
     """Occlusion: (Ntiles, TR) bool."""
     o4, d4, tmax3, order, inv, words_s, counts_s, w_all = _anyhit_prep(
         o_t, d_t, t_max_t, accel, words, counts)
