@@ -55,7 +55,11 @@ def get_scene(cfg: RenderConfig) -> tuple[Scene, Camera]:
 
 
 # Clusters whose packed intersection matrices still fit VMEM alongside the
-# kernel's working set (v2 keeps the whole scene resident on-chip).
+# kernel's working set (v2 keeps the whole scene resident on-chip): the
+# packed-pair layout costs ~6.1 KB/cluster against the 16 MB scoped-vmem
+# budget, so 2048 clusters (~262k tris at C=128) leaves ~3.5 MB for blocks
+# and scratch. Beyond this the v1 HBM-streamed work-list tier takes over
+# (measured 4.6M rays/s at 247k tris/1080p — PERF_NOTES.md tier table).
 _VMEM_RESIDENT_CLUSTERS = 2048
 
 
@@ -98,7 +102,6 @@ def make_render_fn(scene: Scene, cfg: RenderConfig):
 
     if _use_tiled_path(scene, cfg):
         from tracer.bvh import build_scene_accel
-        from tracer.bvh.cluster import SUPER_FACTOR
         from tracer.render.tiled import render_tiled, K_CLOSEST, S_CAP
         from tracer.kernels.traversal2 import DEFAULT_K
 

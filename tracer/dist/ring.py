@@ -40,7 +40,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from tracer.core.camera import Camera, generate_rays
 from tracer.core.types import Ray, T_FAR, RAY_EPS, normalize

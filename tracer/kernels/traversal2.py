@@ -10,25 +10,26 @@ remaining cluster can beat every ray's current best hit.
 Design (vs kernels.traversal v1, which this supersedes on the hot path):
   * grid = image tiles (not flattened work items): no padding steps, no
     work-list construction pass;
-  * candidates arrive pre-sorted front-to-back (bvh.cull.cull_clusters_sorted
+  * candidates arrive pre-sorted front-to-back (bvh.cull.cull_clusters_sorted2
     packs quantized-entry-t | cluster-id into one int32 and sorts — the sort
     IS the traversal order);
   * early termination: the kernel carries a per-tile bound = max over rays of
     the current best t; once the next candidate's conservative entry t
     exceeds it, no remaining candidate (sorted!) can improve any ray;
-  * per-ray AABB prune (v3): before paying the dense (TR x C) intersection
-    for a candidate, a slab test of every ACTUAL ray against the cluster's
-    AABB runs in a transposed (rows x TR) layout — ~2% of the body cost —
-    and the body is skipped (`pl.when`) unless some ray truly enters the box
-    closer than its current best. The tile-frustum cull is interval
-    arithmetic over the ray hull, so this per-ray test prunes the fat-hull
-    false positives that dominate edge-on tiles;
-  * cluster matrices live whole in VMEM ((Ncl*8, 3C) fp32 — ~10 MB at 100k
-    tris), so the inner loop is pure VPU work with a dynamic sublane slice,
-    no per-item DMA;
+  * three-tier partition over count-sorted tiles (trace_tiles_split): heavy
+    tiles run the generic while-loop kernel, count<=1 tiles (the p50 regime)
+    run a straight-line no-while kernel, empty tiles get constants — with
+    static partition points sized per scene by the API and out-of-tier
+    tiles surfaced as excess, never silently wrong;
+  * cluster matrices live whole in VMEM, TWO clusters packed per (8, 128)
+    sublane tile (~6.1 KB/cluster — _pad_w/_w_half), so the inner loop is
+    pure VPU work with an aligned dynamic slice, no per-item DMA;
   * the kernel tracks only (best-t, best-global-slot) per ray; barycentrics
     and the original triangle id are recovered OUTSIDE the kernel with one
     gather + a single-triangle Moller-Trumbore per ray (cheap, exact).
+
+(The v3 experiment's per-ray in-kernel AABB prune helpers _ray_rows /
+_slab_enter remain here for kernels.traversal3, the parked design record.)
 """
 from __future__ import annotations
 
@@ -40,7 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tracer.bvh.cluster import ClusterAccel
-from tracer.bvh.cull import cull_clusters_sorted, cull_clusters_sorted2, CLUSTER_BITS
+from tracer.bvh.cull import cull_clusters_sorted2, CLUSTER_BITS
 from tracer.core.types import Ray, Hit, T_FAR
 from tracer.core.intersect import moller_trumbore
 from tracer.kernels.traversal import tile_rays, untile, _homog, T_MIN

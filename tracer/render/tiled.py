@@ -26,12 +26,11 @@ import jax.numpy as jnp
 
 from tracer.bvh.cluster import ClusterAccel
 from tracer.bvh.cull import cull_clusters_sorted2
-from tracer.core.camera import Camera, generate_rays
-from tracer.core.types import Ray, Hit, T_FAR, RAY_EPS, normalize
-from tracer.kernels.traversal import tile_rays, untile, generate_rays_tiled
+from tracer.core.camera import Camera
+from tracer.core.types import Ray, T_FAR, RAY_EPS, normalize
+from tracer.kernels.traversal import untile, generate_rays_tiled
 from tracer.kernels.traversal2 import (
-    trace_tiles_sorted, trace_tiles_split, any_hit_tiles_sorted, DEFAULT_K,
-    T_MIN)
+    trace_tiles_split, any_hit_tiles_sorted, DEFAULT_K, T_MIN)
 from tracer.render.whitted import WhittedConfig, phong_specular
 
 
