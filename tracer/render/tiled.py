@@ -239,10 +239,16 @@ def render_tiled(scene, accel: ClusterAccel, camera: Camera,
 
         if bounce + 1 < cfg.max_bounces:
             refl_d = d_t - 2.0 * jnp.sum(d_t * n, axis=-1, keepdims=True) * n
-            o_t = p + n * RAY_EPS
-            d_t = normalize(refl_d)
-            throughput = throughput * mirror
             live = valid & (mirror[..., 0] > 0.0)
+            # Dead rays (miss or non-mirror surface) get d = 0: the cull's
+            # tile bounds ignore them and whole-dead tiles land in the
+            # zero tier, so bounce passes cost ~nothing for the (usually
+            # large) non-mirror fraction of the frame. Measured on
+            # sponza1080 (3 bounces): see PERF_NOTES.
+            m = live[..., None]
+            o_t = jnp.where(m, p + n * RAY_EPS, 0.0)
+            d_t = jnp.where(m, normalize(refl_d), 0.0)
+            throughput = throughput * mirror
 
     img = untile(radiance, tiling)
     if with_aux:

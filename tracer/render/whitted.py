@@ -108,9 +108,15 @@ def direct_lighting(
         dist = jnp.sqrt(jnp.maximum(dist2, 1e-20))
         wi = to_l / dist[..., None]
         cos = jnp.maximum(jnp.sum(n * wi, axis=-1), 0.0)
-        # Shadow ray: only meaningful where the surface faces the light.
+        # Shadow ray: only meaningful where the surface faces the light
+        # AND the receiver is a real hit — invalid rays get d = 0 so the
+        # count-driven accel tiers skip them for free (their vis is
+        # masked to 0 below either way).
+        lit = valid & (cos > 0.0)
+        wi_trace = jnp.where(lit[..., None], wi, 0.0)
         shadow_origin = p + n * RAY_EPS
-        occluded = occlude_fn(Ray(o=shadow_origin, d=wi), dist - 2 * RAY_EPS)
+        occluded = occlude_fn(Ray(o=shadow_origin, d=wi_trace),
+                              dist - 2 * RAY_EPS)
         vis = jnp.where(occluded | ~valid, 0.0, 1.0)
         falloff = (vis / jnp.maximum(dist2, 1e-20))[..., None] * lint
         brdf = albedo / jnp.pi * cos[..., None] + phong_specular(
@@ -166,9 +172,14 @@ def render_wavefront(
 
         if bounce + 1 < cfg.max_bounces:
             refl_d = ray.d - 2.0 * jnp.sum(ray.d * n, axis=-1, keepdims=True) * n
-            ray = Ray(o=p + n * RAY_EPS, d=normalize(refl_d))
-            throughput = throughput * mirror
             live = valid & (mirror[..., 0] > 0.0)
+            # Dead rays bounce with d = 0 (see render/tiled.py): brute
+            # tiers miss them trivially and count-driven accel tiers skip
+            # them for free.
+            m = live[..., None]
+            ray = Ray(o=jnp.where(m, p + n * RAY_EPS, 0.0),
+                      d=jnp.where(m, normalize(refl_d), 0.0))
+            throughput = throughput * mirror
     return radiance
 
 
