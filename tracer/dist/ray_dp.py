@@ -48,7 +48,8 @@ def make_sharded_render_fn(scene: Scene, cfg, mesh: jax.sharding.Mesh, tracer_bu
 
 
 def make_sharded_accel_render_fn(scene: Scene, cfg, mesh: jax.sharding.Mesh,
-                                 tracer_builder=None):
+                                 tracer_builder=None,
+                                 reshard_bounces: bool = False):
     """Tile DP through the PRODUCTION accel tier (BASELINE config 4:
     geometry + accel replicated, image rows sharded).
 
@@ -59,8 +60,18 @@ def make_sharded_accel_render_fn(scene: Scene, cfg, mesh: jax.sharding.Mesh,
     band's rays (generate_rays_band at axis_index * band), builds the same
     replicated accel, and runs the full cull + traversal + shading
     pipeline locally — zero communication until the final image assembly.
+
+    reshard_bounces=True enables the Ulysses-analog variant (SURVEY.md
+    §5d, dist.ulysses): before every bounce after the first, the global
+    wavefront is all-to-all re-sharded by morton locality of the bounce
+    origins, traced/shaded on whichever device owns that region of the
+    key range, and the per-ray contributions (plus continuation state)
+    are exchanged back to the owning pixels. Exact — only the placement
+    of work moves.
     """
     from functools import partial as _partial
+
+    from tracer.render.whitted import bounce_step
 
     wcfg = WhittedConfig(max_bounces=cfg.max_bounces,
                          smooth_shading=cfg.smooth_shading)
@@ -79,7 +90,48 @@ def make_sharded_accel_render_fn(scene: Scene, cfg, mesh: jax.sharding.Mesh,
         y0 = jax.lax.axis_index(DATA_AXIS) * band
         rays = generate_rays_band(camera, cfg.height, cfg.width, y0, band)
         trace_fn, occlude_fn = tracer_builder(scene)
-        return render_wavefront(scene, rays, wcfg, trace_fn, occlude_fn)
+        if not reshard_bounces:
+            return render_wavefront(scene, rays, wcfg, trace_fn, occlude_fn)
+
+        from tracer.dist.ulysses import reshard_rays_by_position
+
+        lo = jnp.min(scene.verts, axis=0)
+        hi = jnp.max(scene.verts, axis=0)
+        o = rays.o.reshape(-1, 3)
+        d = rays.d.reshape(-1, 3)
+        r = o.shape[0]
+        radiance = jnp.zeros((r, 3), jnp.float32)
+        throughput = jnp.ones((r, 3), jnp.float32)
+        live = jnp.ones((r,), bool)
+        for bounce in range(wcfg.max_bounces):
+            if bounce == 0:
+                contrib, nray, throughput, live = bounce_step(
+                    scene, Ray(o=o, d=d), throughput, live, wcfg,
+                    trace_fn, occlude_fn)
+                o, d = nray.o, nray.d
+            else:
+                aux = [throughput[:, 0], throughput[:, 1], throughput[:, 2],
+                       live.astype(jnp.float32)]
+                o2, d2, aux2, restore = reshard_rays_by_position(
+                    o, d, aux, lo, hi)
+                thr2 = jnp.stack(aux2[0:3], axis=-1)
+                live2 = aux2[3] > 0.5
+                contrib2, nray2, thr3, live3 = bounce_step(
+                    scene, Ray(o=o2, d=d2), thr2, live2, wcfg,
+                    trace_fn, occlude_fn)
+                back = restore([
+                    contrib2[:, 0], contrib2[:, 1], contrib2[:, 2],
+                    nray2.o[:, 0], nray2.o[:, 1], nray2.o[:, 2],
+                    nray2.d[:, 0], nray2.d[:, 1], nray2.d[:, 2],
+                    thr3[:, 0], thr3[:, 1], thr3[:, 2],
+                    live3.astype(jnp.float32)])
+                contrib = jnp.stack(back[0:3], axis=-1)
+                o = jnp.stack(back[3:6], axis=-1)
+                d = jnp.stack(back[6:9], axis=-1)
+                throughput = jnp.stack(back[9:12], axis=-1)
+                live = back[12] > 0.5
+            radiance = radiance + contrib
+        return radiance.reshape(band, cfg.width, 3)
 
     shard_body = jax.shard_map(
         body, mesh=mesh, in_specs=(P(), P()), out_specs=P(DATA_AXIS))
@@ -152,6 +204,16 @@ def dryrun(devices) -> None:
     loss_b.block_until_ready()
     assert bool(jnp.isfinite(loss_b))
     assert grads_b.shape == scene.verts.shape
+
+    # Ulysses-analog bounce re-shard (optional T11 variant, dist.ulysses):
+    # all-to-all the bounce wavefront by morton locality.
+    cfg3 = load_config("cornell256", height=8 * n, width=16, max_bounces=2)
+    resh = make_sharded_accel_render_fn(
+        scene, cfg3, mesh, tracer_builder=lambda s: make_brute_tracers(s),
+        reshard_bounces=True)
+    img_u = resh(scene, camera)
+    img_u.block_until_ready()
+    assert img_u.shape == (cfg3.height, cfg3.width, 3)
 
     # Sharded-geometry tier (T11): ring (rays on data x geom, geometry
     # rotating over geom) and pmin-reduce variants on a 2D mesh, brute and

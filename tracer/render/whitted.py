@@ -133,6 +133,49 @@ class WhittedConfig:
     ambient: float = 0.04
 
 
+def bounce_step(
+    scene: Scene,
+    ray: Ray,
+    throughput: jax.Array,
+    live: jax.Array,
+    cfg: WhittedConfig,
+    trace_fn: TraceFn,
+    occlude_fn: OccludeFn,
+):
+    """One Whitted bounce on an explicit wavefront state.
+
+    Returns (contrib, next_ray, next_throughput, next_live): the radiance
+    this bounce adds per ray, and the mirror-continuation state. Factored
+    out of render_wavefront so distributed drivers can interleave the
+    bounce loop with ray re-sharding (dist.ulysses)."""
+    sky = jnp.asarray(cfg.sky_color, jnp.float32)
+    hit = trace_fn(ray)
+    valid = hit.valid & live
+    p, n, mat = shading_frame(scene, ray, hit, cfg.smooth_shading)
+    albedo = scene.materials.albedo[mat]
+    emission = scene.materials.emission[mat]
+    mirror = scene.materials.mirror[mat][..., None]
+    spec = scene.materials.specular[mat]
+    shin = scene.materials.shininess[mat]
+
+    direct = direct_lighting(scene, p, n, ray.d, albedo, spec, shin,
+                             valid, occlude_fn)
+    local = emission + albedo * cfg.ambient + direct
+    # Miss -> sky, weighted by throughput; then the ray dies.
+    miss_contrib = jnp.where((live & ~hit.valid)[..., None], sky, 0.0)
+    surf_contrib = jnp.where(valid[..., None], local * (1.0 - mirror), 0.0)
+    contrib = throughput * (surf_contrib + miss_contrib)
+
+    refl_d = ray.d - 2.0 * jnp.sum(ray.d * n, axis=-1, keepdims=True) * n
+    next_live = valid & (mirror[..., 0] > 0.0)
+    # Dead rays bounce with d = 0 (see render/tiled.py): brute tiers miss
+    # them trivially and count-driven accel tiers skip them for free.
+    m = next_live[..., None]
+    next_ray = Ray(o=jnp.where(m, p + n * RAY_EPS, 0.0),
+                   d=jnp.where(m, normalize(refl_d), 0.0))
+    return contrib, next_ray, throughput * mirror, next_live
+
+
 def render_wavefront(
     scene: Scene,
     ray: Ray,
@@ -147,39 +190,14 @@ def render_wavefront(
     (Unrolled Python loop over a static small bounce count — each bounce has
     different live-mask statistics so XLA sees straight-line fusable code.)
     """
-    sky = jnp.asarray(cfg.sky_color, jnp.float32)
     radiance = jnp.zeros(ray.batch_shape + (3,), jnp.float32)
     throughput = jnp.ones(ray.batch_shape + (3,), jnp.float32)
     live = jnp.ones(ray.batch_shape, bool)
 
     for bounce in range(cfg.max_bounces):
-        hit = trace_fn(ray)
-        valid = hit.valid & live
-        p, n, mat = shading_frame(scene, ray, hit, cfg.smooth_shading)
-        albedo = scene.materials.albedo[mat]
-        emission = scene.materials.emission[mat]
-        mirror = scene.materials.mirror[mat][..., None]
-        spec = scene.materials.specular[mat]
-        shin = scene.materials.shininess[mat]
-
-        direct = direct_lighting(scene, p, n, ray.d, albedo, spec, shin,
-                                 valid, occlude_fn)
-        local = emission + albedo * cfg.ambient + direct
-        # Miss -> sky, weighted by throughput; then the ray dies.
-        miss_contrib = jnp.where((live & ~hit.valid)[..., None], sky, 0.0)
-        surf_contrib = jnp.where(valid[..., None], local * (1.0 - mirror), 0.0)
-        radiance = radiance + throughput * (surf_contrib + miss_contrib)
-
-        if bounce + 1 < cfg.max_bounces:
-            refl_d = ray.d - 2.0 * jnp.sum(ray.d * n, axis=-1, keepdims=True) * n
-            live = valid & (mirror[..., 0] > 0.0)
-            # Dead rays bounce with d = 0 (see render/tiled.py): brute
-            # tiers miss them trivially and count-driven accel tiers skip
-            # them for free.
-            m = live[..., None]
-            ray = Ray(o=jnp.where(m, p + n * RAY_EPS, 0.0),
-                      d=jnp.where(m, normalize(refl_d), 0.0))
-            throughput = throughput * mirror
+        contrib, ray, throughput, live = bounce_step(
+            scene, ray, throughput, live, cfg, trace_fn, occlude_fn)
+        radiance = radiance + contrib
     return radiance
 
 
