@@ -150,12 +150,16 @@ def make_render_fn(scene: Scene, cfg: RenderConfig):
                 if not overflowed and split is not None:
                     return
                 if overflowed:
-                    # Measured needs are lower bounds when superclusters
-                    # also overflowed (their clusters went untested): also
-                    # double, and clamp at the exact-by-construction maxima.
-                    kc = min(max(r8(aux["need_closest"]), 2 * kc), n_cl)
-                    k = min(max(r8(aux["need_shadow"]), 2 * k), n_cl)
-                    s = min(max(int(aux["need_s"]), 2 * s), n_sc)
+                    # need_s is EXACT (stage 1 is measured untruncated);
+                    # the k needs are exact once s covers need_s and only
+                    # lower bounds before that — but then the next
+                    # iteration re-measures them under the wider s, so
+                    # monotone escalation to the measured need converges
+                    # without blanket doubling (which paid 2x stage-2
+                    # cull width for a handful of overflow candidates).
+                    kc = min(max(r8(aux["need_closest"]), kc), n_cl)
+                    k = min(max(r8(aux["need_shadow"]), k), n_cl)
+                    s = min(max(int(aux["need_s"]) + 2, s), n_sc)
                 # A measured split too narrow for this frame: widen
                 # monotonically (never shrink mid-scene).
                 if split is not None:
