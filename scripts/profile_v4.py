@@ -73,7 +73,9 @@ def main():
 
     fb = int(os.environ.get("FB", str(FAST_BATCH)))
     fg = int(os.environ.get("FG", str(FAST_GROUP)))
-    gb = int(os.environ.get("GB", "2"))   # generic-region batch
+    from tracer.kernels.traversal2 import SPLIT_BATCH, ANYHIT_BATCH
+
+    gb = int(os.environ.get("GB", str(SPLIT_BATCH)))   # generic-region batch
     gg = int(os.environ.get("GG", "8"))   # generic-region group
     cnp2 = np.asarray(counts)
     p = int(-(-int((cnp2 > fb).sum() + 8) // 8) * 8)
@@ -107,7 +109,7 @@ def main():
     print(f"s-cull2:  {ms:8.2f} ms   count mean={c2np.mean():.1f} "
           f"max={c2np.max()}", flush=True)
 
-    ab = int(os.environ.get("AB", "2"))   # any-hit batch
+    ab = int(os.environ.get("AB", str(ANYHIT_BATCH)))   # any-hit batch
     ag = int(os.environ.get("AG", "8"))   # any-hit group
     anyhit = jax.jit(lambda o, d, t, a, w, c: any_hit_tiles_sorted(
         o, d, t, a, w, c, group=ag, batch=ab))
