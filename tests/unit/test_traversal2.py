@@ -149,3 +149,43 @@ def test_split_matches_full_generic(bunny):
     _, _, excess2, _ = trace_tiles_split(
         o_t, d_t, accel, words, counts, 0, need_zero + 8, interpret=True)
     assert int(excess2) > 0
+
+
+def test_anyhit_graded_matches_ungraded(bunny):
+    """any_hit_tiles_graded (B-graded lockstep + zero fill) ==
+    any_hit_tiles_sorted under an honest partition; only the zero tier can
+    be wrong, and starving it must report excess."""
+    from tracer.bvh.cull import cull_clusters_sorted2
+    from tracer.kernels.traversal import tile_rays
+    from tracer.kernels.traversal2 import (
+        any_hit_tiles_sorted, any_hit_tiles_graded)
+
+    scene, cam = bunny
+    rays = generate_rays(cam, 64, 64)
+    accel = build_clusters(scene.verts, scene.tris, cluster_size=32)
+    o_t, d_t, _ = tile_rays(rays.o, rays.d, 64)
+    tm = jnp.full(o_t.shape[:2], 10.0, jnp.float32)
+    k = max(8, -(-min(64, accel.num_clusters) // 8) * 8)
+    words, counts, _, _ = cull_clusters_sorted2(accel, o_t, d_t, tm, k)
+    ref = any_hit_tiles_sorted(o_t, d_t, tm, accel, words, counts,
+                               interpret=True)
+
+    c = np.asarray(counts)
+    b1 = int((c > 1).sum())
+    z = int((c > 0).sum())
+    occ, excess, needs = any_hit_tiles_graded(
+        o_t, d_t, tm, accel, words, counts, b1 + 8, z + 8, interpret=True)
+    assert int(excess) == 0
+    assert int(needs[0]) == b1 and int(needs[1]) == z
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(ref))
+
+    # A mis-sized B1 split is a PERF knob only — still exact.
+    occ2, excess2, _ = any_hit_tiles_graded(
+        o_t, d_t, tm, accel, words, counts, 0, z + 8, interpret=True)
+    assert int(excess2) == 0
+    np.testing.assert_array_equal(np.asarray(occ2), np.asarray(ref))
+
+    # A starved ZERO tier must report.
+    _, excess3, _ = any_hit_tiles_graded(
+        o_t, d_t, tm, accel, words, counts, 0, 0, interpret=True)
+    assert int(excess3) > 0

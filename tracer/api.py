@@ -108,14 +108,15 @@ def make_render_fn(scene: Scene, cfg: RenderConfig):
         build = jax.jit(build_scene_accel)
 
         def build_run(caps):
-            kc, k, s, split = caps
+            kc, k, s, split, sh_split = caps
 
             @jax.jit
             def run_tiled(scene: Scene, accel, camera: Camera):
                 return render_tiled(scene, accel, camera, cfg.height,
                                     cfg.width, wcfg, with_aux=True,
                                     k_closest=kc, k_cap=k, s_cap=s,
-                                    closest_split=split)
+                                    closest_split=split,
+                                    shadow_split=sh_split)
 
             return run_tiled
 
@@ -128,7 +129,7 @@ def make_render_fn(scene: Scene, cfg: RenderConfig):
         # (VERDICT r3 weak #2/#8). A camera moving later can still
         # overflow; aux['overflow'] stays exposed and bench fails on it.
         state = {"scene": None, "accel": None,
-                 "caps": (K_CLOSEST, DEFAULT_K, S_CAP, None),
+                 "caps": (K_CLOSEST, DEFAULT_K, S_CAP, None, None),
                  "run": None}
 
         def _size_caps(scene, accel, camera):
@@ -141,13 +142,16 @@ def make_render_fn(scene: Scene, cfg: RenderConfig):
                     state["run"] = build_run(state["caps"])
                 img, aux = state["run"](scene, accel, camera)
                 overflowed = int(aux["overflow"]) != 0
-                kc, k, s, split = state["caps"]
-                # First frame also measures the tile count distribution for
-                # the three-tier closest partition (trace_tiles_split); +8
+                kc, k, s, split, sh_split = state["caps"]
+                # First frame also measures the tile count distributions
+                # for the closest three-tier partition (trace_tiles_split)
+                # and the batch-graded any-hit (any_hit_tiles_graded); +8
                 # slack keeps tiny count jitter from forcing a recompile.
                 want_split = (min(r8(aux["need_split"]) + 8, n_tiles),
                               min(r8(aux["need_zero"]) + 8, n_tiles))
-                if not overflowed and split is not None:
+                want_sh = (min(r8(aux["need_sh_b1"]) + 8, n_tiles),
+                           min(r8(aux["need_sh_zero"]) + 8, n_tiles))
+                if not overflowed and split is not None and sh_split is not None:
                     return
                 if overflowed:
                     # need_s is EXACT (stage 1 is measured untruncated);
@@ -165,12 +169,15 @@ def make_render_fn(scene: Scene, cfg: RenderConfig):
                 if split is not None:
                     want_split = (max(want_split[0], split[0]),
                                   max(want_split[1], split[1]))
+                if sh_split is not None:
+                    want_sh = (max(want_sh[0], sh_split[0]),
+                               max(want_sh[1], sh_split[1]))
                 import sys
 
                 print(f"[tracer] sizing (overflow {int(aux['overflow'])}): "
-                      f"caps {state['caps']} -> {(kc, k, s, want_split)}",
-                      file=sys.stderr)
-                state["caps"] = (kc, k, s, want_split)
+                      f"caps {state['caps']} -> "
+                      f"{(kc, k, s, want_split, want_sh)}", file=sys.stderr)
+                state["caps"] = (kc, k, s, want_split, want_sh)
                 state["run"] = build_run(state["caps"])
             raise RuntimeError(
                 f"cap sizing did not converge (caps={state['caps']})")

@@ -30,7 +30,8 @@ from tracer.core.camera import Camera
 from tracer.core.types import Ray, T_FAR, RAY_EPS, normalize
 from tracer.kernels.traversal import untile, generate_rays_tiled
 from tracer.kernels.traversal2 import (
-    trace_tiles_split, any_hit_tiles_sorted, DEFAULT_K, T_MIN)
+    trace_tiles_split, any_hit_tiles_sorted, any_hit_tiles_graded, DEFAULT_K,
+    T_MIN)
 from tracer.render.whitted import WhittedConfig, phong_specular
 
 
@@ -81,22 +82,8 @@ def _trace_rows(accel: ClusterAccel, o_t, d_t, k_cap, s_cap, split,
     return gid, rows, excess + t_excess, need, split_need
 
 
-def _occluded(accel: ClusterAccel, o_t, d_t, t_max_t, k_cap, s_cap,
-              interpret):
-    sg = jax.lax.stop_gradient
-    accel_sg = sg(accel)
-    o_t, d_t, t_max_t = sg(o_t), sg(d_t), sg(t_max_t)
-    words, counts, excess, need = cull_clusters_sorted2(
-        accel_sg, o_t, d_t, t_max_t, k_cap, s_cap)
-    # Single lockstep pass: an any-hit three-tier split measured 8% slower
-    # (see kernels.traversal2._run_anyhit_region).
-    occ = any_hit_tiles_sorted(o_t, d_t, t_max_t, accel_sg, words, counts,
-                               interpret=interpret)
-    return occ, excess, need
-
-
 def _segment_occluded(accel: ClusterAccel, light_pos, p_t, eps_t, k_cap,
-                      s_cap, interpret):
+                      s_cap, split, interpret):
     """Occlusion of the segment light<->p, traced FROM THE LIGHT.
 
     Shadow rays share the light as a common origin, so the per-tile frustum
@@ -122,9 +109,10 @@ def _segment_occluded(accel: ClusterAccel, light_pos, p_t, eps_t, k_cap,
     t_max_t = 1.0 - eps_t / seg_len
     words, counts, excess, need = cull_clusters_sorted2(
         accel_sg, o_t, d_t, t_max_t, k_cap, s_cap)
-    occ = any_hit_tiles_sorted(o_t, d_t, t_max_t, accel_sg, words, counts,
-                               interpret=interpret)
-    return occ, excess, need
+    occ, t_excess, sneed = any_hit_tiles_graded(
+        o_t, d_t, t_max_t, accel_sg, words, counts, split[0], split[1],
+        interpret=interpret)
+    return occ, excess + t_excess, need, sneed
 
 
 # Closest-hit candidate cap: primary/bounce frusta are tight (p99 ~ 24 on
@@ -143,7 +131,8 @@ def render_tiled(scene, accel: ClusterAccel, camera: Camera,
                  k_cap: int = DEFAULT_K, tr: int = 64,
                  interpret: bool = False, with_aux: bool = False,
                  k_closest: int = K_CLOSEST, s_cap: int = S_CAP,
-                 closest_split: tuple[int, int] | None = None):
+                 closest_split: tuple[int, int] | None = None,
+                 shadow_split: tuple[int, int] | None = None):
     # tr=64 (8x8-pixel tiles): measured 2.4x faster than 16x16 at 1080p —
     # tighter tile frusta cut candidates/tile 5x (mean 18.3 -> 3.5), which
     # outweighs the 4x tile count; VPU blocks stay full at (64, 384).
@@ -162,11 +151,14 @@ def render_tiled(scene, accel: ClusterAccel, camera: Camera,
     need_s = jnp.int32(0)
     need_split = jnp.int32(0)
     need_zero = jnp.int32(0)
+    need_sh_b1 = jnp.int32(0)
+    need_sh_zero = jnp.int32(0)
     o_t, d_t, tiling = generate_rays_tiled(camera, height, width, tr)
     n_tiles = o_t.shape[0]
-    # Default split = everything in the generic tier (always correct); the
-    # API's sizing pass measures the count distribution and narrows it.
+    # Default splits = everything in the generic tier (always correct); the
+    # API's sizing pass measures the count distributions and narrows them.
     split = closest_split if closest_split is not None else (n_tiles, n_tiles)
+    sh_split = shadow_split if shadow_split is not None else (n_tiles, n_tiles)
 
     sky = jnp.asarray(cfg.sky_color, jnp.float32)
     shape = o_t.shape[:2]
@@ -220,12 +212,14 @@ def render_tiled(scene, accel: ClusterAccel, camera: Camera,
             # so they don't fatten the shadow frusta or cost kernel work.
             lit = valid & (cos > 0.0)
             target = jnp.where(lit[..., None], p + n * RAY_EPS, lpos)
-            occ, exc, need = _segment_occluded(
+            occ, exc, need, sneed = _segment_occluded(
                 accel, lpos, target, jnp.float32(RAY_EPS), k, s_cap,
-                interpret)
+                sh_split, interpret)
             overflow = overflow + exc
             need_shadow = jnp.maximum(need_shadow, need[0])
             need_s = jnp.maximum(need_s, need[1])
+            need_sh_b1 = jnp.maximum(need_sh_b1, sneed[0])
+            need_sh_zero = jnp.maximum(need_sh_zero, sneed[1])
             vis = jnp.where(occ | ~lit, 0.0, 1.0)
             falloff = (vis / jnp.maximum(dist2, 1e-20))[..., None] * lint
             brdf = (albedo / jnp.pi * cos[..., None]
@@ -254,5 +248,6 @@ def render_tiled(scene, accel: ClusterAccel, camera: Camera,
     if with_aux:
         return img, {"overflow": overflow, "need_closest": need_closest,
                      "need_shadow": need_shadow, "need_s": need_s,
-                     "need_split": need_split, "need_zero": need_zero}
+                     "need_split": need_split, "need_zero": need_zero,
+                     "need_sh_b1": need_sh_b1, "need_sh_zero": need_sh_zero}
     return img
