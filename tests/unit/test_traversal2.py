@@ -151,6 +151,44 @@ def test_split_matches_full_generic(bunny):
     assert int(excess2) > 0
 
 
+def test_split_ultra_tier(bunny):
+    """Four-tier split (ultra full-width region + k_mid mid region) ==
+    full generic when the ultra split honors the measured need; a starved
+    ultra region reports excess instead of silently truncating."""
+    from tracer.bvh.cull import cull_clusters_sorted2
+    from tracer.kernels.traversal import tile_rays
+    from tracer.kernels.traversal2 import (
+        trace_tiles_sorted, trace_tiles_split, FAST_BATCH)
+
+    scene, cam = bunny
+    rays = generate_rays(cam, 64, 64)
+    accel = build_clusters(scene.verts, scene.tris, cluster_size=32)
+    o_t, d_t, _ = tile_rays(rays.o, rays.d, 64)
+    k = max(8, -(-min(64, accel.num_clusters) // 8) * 8)
+    words, counts, _, _ = cull_clusters_sorted2(accel, o_t, d_t, T_FAR, k)
+    ref_bt, ref_gid = trace_tiles_sorted(o_t, d_t, accel, words, counts,
+                                         interpret=True)
+    c = np.asarray(counts)
+    k_mid = 8
+    n_over = int((c > k_mid).sum())
+    assert n_over > 0, "fixture too small: no tile exceeds k_mid"
+    need_split = int((c > FAST_BATCH).sum())
+    need_zero = int((c > 0).sum())
+
+    bt, gid, excess, _ = trace_tiles_split(
+        o_t, d_t, accel, words, counts, need_split + 8, need_zero + 8,
+        ultra_split=n_over + 8, k_mid=k_mid, interpret=True)
+    assert int(excess) == 0
+    np.testing.assert_array_equal(np.asarray(gid), np.asarray(ref_gid))
+    np.testing.assert_allclose(np.asarray(bt), np.asarray(ref_bt), rtol=1e-6)
+
+    # Starved ultra region: mid tiles with count > k_mid must be surfaced.
+    _, _, excess2, _ = trace_tiles_split(
+        o_t, d_t, accel, words, counts, need_split + 8, need_zero + 8,
+        ultra_split=0, k_mid=k_mid, interpret=True)
+    assert int(excess2) == n_over
+
+
 def test_anyhit_graded_matches_ungraded(bunny):
     """any_hit_tiles_graded (B-graded lockstep + zero fill) ==
     any_hit_tiles_sorted under an honest partition; only the zero tier can
@@ -189,3 +227,17 @@ def test_anyhit_graded_matches_ungraded(bunny):
     _, excess3, _ = any_hit_tiles_graded(
         o_t, d_t, tm, accel, words, counts, 0, 0, interpret=True)
     assert int(excess3) > 0
+
+    # Ultra tier: exact under an honest split, surfaced when starved.
+    k_mid = 8
+    n_over = int((c > k_mid).sum())
+    assert n_over > 0
+    occ3, excess4, _ = any_hit_tiles_graded(
+        o_t, d_t, tm, accel, words, counts, b1 + 8, z + 8,
+        ultra_split=n_over + 8, k_mid=k_mid, interpret=True)
+    assert int(excess4) == 0
+    np.testing.assert_array_equal(np.asarray(occ3), np.asarray(ref))
+    _, excess5, _ = any_hit_tiles_graded(
+        o_t, d_t, tm, accel, words, counts, b1 + 8, z + 8,
+        ultra_split=0, k_mid=k_mid, interpret=True)
+    assert int(excess5) == n_over

@@ -69,11 +69,16 @@ def tile_bounds(o: jax.Array, d: jax.Array):
     o_hi = jnp.max(jnp.where(valid, o, -big), axis=1)
     d_lo = jnp.min(jnp.where(valid, d, big), axis=1)
     d_hi = jnp.max(jnp.where(valid, d, -big), axis=1)
-    # Tiles with no valid rays: collapse to an impossible frustum.
+    # Tiles with no valid rays: collapse to a STRUCTURALLY infeasible
+    # frustum. o_lo = +T_FAR / o_hi = -T_FAR with d == 0 fails the
+    # `o_hi + t*d_hi >= box_lo` constraint for every box with a finite lo
+    # (and the <= constraint for every finite hi), so all-dead tiles can
+    # never produce candidates — the previous [1,0] sentinel still passed
+    # for boxes straddling [0, 1] and inflated bounce-pass sizing.
     any_valid = jnp.any(valid[..., 0], axis=1, keepdims=True)
-    o_lo = jnp.where(any_valid, o_lo, 1.0)
-    o_hi = jnp.where(any_valid, o_hi, 0.0)
-    d_lo = jnp.where(any_valid, d_lo, 1.0)
+    o_lo = jnp.where(any_valid, o_lo, big)
+    o_hi = jnp.where(any_valid, o_hi, -big)
+    d_lo = jnp.where(any_valid, d_lo, 0.0)
     d_hi = jnp.where(any_valid, d_hi, 0.0)
     return o_lo, o_hi, d_lo, d_hi
 

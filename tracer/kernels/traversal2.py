@@ -54,6 +54,41 @@ MAX_WORDS_PER_CALL = 128 * 1024
 _CL_MASK = (1 << CLUSTER_BITS) - 1
 _T_FAR_BITS = int(_np.float32(T_FAR).view(_np.int32))  # python int: safe to close over
 _BIG = float(T_FAR)  # python float: safe to close over in kernels
+_INT_MAX = 2147483647
+
+
+def _batch_best(tvs, bids, bt_prev, bid_prev):
+    """Deferred best-hit reduction over a batch of candidate tv maps.
+
+    tvs: list of (TR, C) t-or-T_FAR maps, one per candidate, in sorted
+    (front-to-back) order; bids: matching (TR, C) int32 global-slot maps
+    (cluster*C + lane). Returns (bt, bid) updated from (bt_prev, bid_prev).
+
+    Why deferred: reducing per candidate costs two cross-lane reductions
+    (t-min + slot-argmin, ~7 shuffle steps each on (TR, 128)) per candidate
+    and serializes the candidates through the running-best update. Folding
+    the batch first does B-1 elementwise mins + B-1 selects, then TWO
+    reductions per batch — and leaves the B _cluster_t dependency chains
+    independent so the VPU can interleave them (the products->divide->uv
+    chain stalls are the measured wall, PERF_NOTES.md).
+
+    Tie-break: strictly-earlier batches win (strict <); within a batch the
+    earliest candidate j wins per lane (first-match select fold). The only
+    divergence from the per-candidate original is a bit-equal t achieved by
+    DIFFERENT candidates on DIFFERENT lanes of the same tile row, where the
+    smaller global slot now wins — unobservable outside exact fp ties
+    between distinct triangles."""
+    m = tvs[0]
+    for tv in tvs[1:]:
+        m = jnp.minimum(m, tv)
+    bid_lane = bids[-1]
+    for j in range(len(tvs) - 2, -1, -1):
+        bid_lane = jnp.where(tvs[j] == m, bids[j], bid_lane)
+    tmin = jnp.min(m, axis=-1, keepdims=True)
+    bid_new = jnp.min(jnp.where(m == tmin, bid_lane, _INT_MAX),
+                      axis=-1, keepdims=True)
+    better = tmin < bt_prev
+    return jnp.where(better, tmin, bt_prev), jnp.where(better, bid_new, bid_prev)
 
 
 def _products(o4, d4, w):
@@ -84,15 +119,19 @@ def _cluster_t(o4, d4, w, c, t_min, t_max_col, *, approx: bool = False):
     # broadcast FMAs. See PERF_NOTES.md.
     so, sd = _products(o4, d4, w)
     den = sd[:, 0:c]
-    den_safe = jnp.where(den == 0.0, 1.0, den)
+    # RAW IEEE divide, no den == 0 guard and no |den| > eps test: when den
+    # is 0 the quotient is +-inf (or NaN for 0/0), u/v become inf/NaN, and
+    # every comparison below is then false — `ok` rejects the lane without
+    # spending the 4 vreg-ops/column the guards cost (~10% of the kernel;
+    # the kernel is ISSUE-bound, see PERF_NOTES.md roofline).
     if approx:
-        t = -so[:, 0:c] * pl.reciprocal(den_safe, approx=True)
+        t = -so[:, 0:c] * pl.reciprocal(den, approx=True)
     else:
-        t = -so[:, 0:c] / den_safe
+        t = -so[:, 0:c] / den
     u = so[:, c:2 * c] + t * sd[:, c:2 * c]
     v = so[:, 2 * c:3 * c] + t * sd[:, 2 * c:3 * c]
     ok = ((jnp.minimum(jnp.minimum(u, v), 1.0 - u - v) >= 0.0)
-          & (t > t_min) & (t < t_max_col) & (jnp.abs(den) > 1e-12))
+          & (t > t_min) & (t < t_max_col))
     return jnp.where(ok, t, T_FAR)
 
 
@@ -175,6 +214,7 @@ def _closest_kernel(k_cap, c, t_min, g_sz, batch, n_cl, approx, words, counts,
 
         def body(carry, *, g=g, o4=o4, d4=d4, n=n, base=base):
             k, bound_bits = carry
+            tvs, bids = [], []
             for j in range(batch):
                 # Clamped read: slots past the count replay the last word;
                 # their results are masked out via `live`.
@@ -183,13 +223,10 @@ def _closest_kernel(k_cap, c, t_min, g_sz, batch, n_cl, approx, words, counts,
                 live = k + j < n
                 w = _w_half(w_ref, cl)  # (4, 3C) affine-map rows
                 tv = _cluster_t(o4, d4, w, c, t_min, T_FAR, approx=approx)
-                tv = jnp.where(live, tv, T_FAR)
-                tmin = jnp.min(tv, axis=-1, keepdims=True)  # (TR, 1)
-                slot = jnp.min(jnp.where(tv == tmin, slots, c), axis=-1,
-                               keepdims=True)
-                better = tmin < bt_ref[g]
-                bt_ref[g] = jnp.where(better, tmin, bt_ref[g])
-                bid_ref[g] = jnp.where(better, cl * c + slot, bid_ref[g])
+                tvs.append(jnp.where(live, tv, T_FAR))
+                bids.append(slots + cl * c)
+            bt_ref[g], bid_ref[g] = _batch_best(tvs, bids, bt_ref[g],
+                                                bid_ref[g])
             btT_ref[g:g + 1] = bt_ref[g].reshape(1, tr)
             bt_bits = jax.lax.bitcast_convert_type(btT_ref[g], jnp.int32)
             return k + batch, jnp.max(bt_bits)
@@ -215,21 +252,17 @@ def _closest_fast_kernel(k_cap, c, t_min, g_sz, batch, n_cl, words, counts,
         d4 = d4_ref[g]
         n = counts[tile]
         base = tile * k_cap
-        bt = jnp.full((tr, 1), T_FAR, jnp.float32)
-        bid = jnp.full((tr, 1), -1, jnp.int32)
+        tvs, bids = [], []
         for j in range(batch):
             word = words[base + j]
             cl = jnp.minimum(word & _CL_MASK, n_cl - 1)
             live = j < n
             w = _w_half(w_ref, cl)
             tv = _cluster_t(o4, d4, w, c, t_min, T_FAR)
-            tv = jnp.where(live, tv, T_FAR)
-            tmin = jnp.min(tv, axis=-1, keepdims=True)
-            slot = jnp.min(jnp.where(tv == tmin, slots, c), axis=-1,
-                           keepdims=True)
-            better = tmin < bt
-            bt = jnp.where(better, tmin, bt)
-            bid = jnp.where(better, cl * c + slot, bid)
+            tvs.append(jnp.where(live, tv, T_FAR))
+            bids.append(slots + cl * c)
+        bt, bid = _batch_best(tvs, bids, jnp.full((tr, 1), T_FAR, jnp.float32),
+                              jnp.full((tr, 1), -1, jnp.int32))
         bt_ref[g] = bt
         bid_ref[g] = bid
 
@@ -269,6 +302,11 @@ def _anyhit_kernel(k_cap, c, t_min, g_sz, batch, n_cl, approx, words, counts,
             tmax_col = tmax_ref[g]  # (TR, 1)
             base = (base0 + g) * k_cap
             n = counts[base0 + g]
+            # Deferred occlusion reduction (see _batch_best): fold the
+            # batch's tv maps with elementwise mins first — ONE cross-lane
+            # reduction per batch instead of per candidate, and the B
+            # _cluster_t chains stay independent for VPU interleaving.
+            m = None
             for j in range(batch):
                 word = words[base + jnp.minimum(k + j, k_cap - 1)]
                 cl = jnp.minimum(word & _CL_MASK, n_cl - 1)
@@ -276,9 +314,11 @@ def _anyhit_kernel(k_cap, c, t_min, g_sz, batch, n_cl, approx, words, counts,
                 w = _w_half(w_ref, cl)
                 tv = _cluster_t(o4, d4, w, c, t_min, tmax_col,
                                 approx=approx)
-                hit_any = (jnp.min(tv, axis=-1, keepdims=True) < T_FAR) & live
-                occC_ref[g] = jnp.maximum(occC_ref[g],
-                                          hit_any.astype(jnp.float32))
+                tv = jnp.where(live, tv, T_FAR)
+                m = tv if m is None else jnp.minimum(m, tv)
+            hit_any = jnp.min(m, axis=-1, keepdims=True) < T_FAR
+            occC_ref[g] = jnp.maximum(occC_ref[g],
+                                      hit_any.astype(jnp.float32))
         return k + batch, bound_bits()
 
     jax.lax.while_loop(cond, body, (jnp.int32(0), bound_bits()))
@@ -314,11 +354,13 @@ DEFAULT_GROUP = 8
 # Candidates intersected per while_loop iteration (between early-out checks).
 # B=2 measured fastest for a FULL-range closest pass (p50 == 1 tiles
 # included; B=1: +25%, B=8: +45%). With the three-tier split absorbing the
-# small tiles, the count>1 generic region prefers B=3 and the any-hit
-# lockstep prefers B=4 (r4 sweep: closest-split 46.5 -> 42.3 ms, any-hit
-# 44.8 -> 40.3; B=6 regresses both).
+# small tiles, the count>1 generic region preferred B=3 in r4; the r5
+# deferred batch reduction (_batch_best: one cross-lane reduce pair per
+# batch instead of per candidate) moved the optimum to B=4 (closest-split
+# 44.8 -> 39.6 ms; B=6 equal within noise). Any-hit is insensitive to B
+# (lockstep loop is n_max-bound): 38.5-39.4 across B=4/6/8.
 DEFAULT_BATCH = 2
-SPLIT_BATCH = 3
+SPLIT_BATCH = 4
 ANYHIT_BATCH = 4
 
 
@@ -467,24 +509,47 @@ FAST_BATCH = 1
 FAST_GROUP = 8
 
 
+# Word width of the mid (non-ultra) generic region when the ultra tier is
+# active, and the count threshold `need_ultra` is always measured against.
+ULTRA_K = 256
+
+
 def trace_tiles_split(o_t, d_t, accel: ClusterAccel, words, counts,
                       split: int, zero_split: int,
                       t_min=T_MIN, interpret: bool = False,
                       group: int = DEFAULT_GROUP, batch: int = SPLIT_BATCH,
                       fast_batch: int = FAST_BATCH,
-                      fast_group: int = FAST_GROUP):
-    """Three-tier closest-hit over count-sorted tiles:
+                      fast_group: int = FAST_GROUP,
+                      ultra_split: int = 0, k_mid: int | None = None):
+    """Closest-hit over count-sorted tiles, up to four tiers:
 
-      [0, split)           generic while-loop kernel (heavy tiles);
+      [0, ultra_split)     generic kernel, FULL word width k_cap ("ultra":
+                           the few grazing-frustum tiles whose candidate
+                           list legitimately reaches the whole cluster
+                           list; active only when k_mid is not None);
+      [ultra, split)       generic while-loop kernel at width k_mid (the
+                           heavy-but-normal tiles) — with k_mid == None
+                           this region runs at full width (three-tier r4
+                           behavior);
       [split, zero_split)  straight-line fast kernel (count <= fast_batch);
       [zero_split, Ntiles) no kernel at all — miss constants (count == 0).
 
-    `split`/`zero_split` are STATIC partition points (rounded to `group`);
-    tiles landing below their tier's assumption produce wrong results and
-    are counted into the returned excess, so the caller's sizing loop can
-    widen the regions and recompile — the same measure-escalate contract
-    as the k-caps. Returns (bt, gid, excess, (need_split, need_zero)) with
-    needs = exact tile counts that would make this frame's excess zero.
+    Why the ultra tier: pallas_call chunking ships MAX_WORDS_PER_CALL
+    words per launch, so a scene whose max tile count forces k_cap to the
+    full cluster list (sponza's grazing corridor tiles) drags EVERY tile
+    to that width — ~490 launches of 66 tiles at 1080p. Narrowing the
+    non-ultra region to k_mid=256 restores ~512 tiles/launch for the bulk
+    (VERDICT r4 next #4 / PERF_NOTES "ultra-k").
+
+    `ultra_split`/`split`/`zero_split` are STATIC partition points (rounded
+    to `group`); tiles landing below their tier's assumption produce wrong
+    results and are counted into the returned excess, so the caller's
+    sizing loop can widen the regions and recompile — the same
+    measure-escalate contract as the k-caps. Returns
+    (bt, gid, excess, (need_split, need_zero, need_ultra)) with needs =
+    exact tile counts that would make this frame's excess zero
+    (need_ultra = tiles with count > ULTRA_K, measured against the
+    constant so the caller can decide to enable the tier).
     """
     n_tiles, tr, _ = o_t.shape
     order = jnp.argsort(-counts).astype(jnp.int32)
@@ -499,16 +564,38 @@ def trace_tiles_split(o_t, d_t, accel: ClusterAccel, words, counts,
     Z = min(_round_group(max(zero_split, P), gr), _round_group(n_tiles, gr))
     P = min(P, n_tiles)
     Z = min(Z, n_tiles)
+    U = 0
+    if k_mid is not None:
+        U = min(_round_group(max(ultra_split, 0), gr), P)
 
     need_split = jnp.sum(counts > fast_batch)
     need_zero = jnp.sum(counts > 0)
-    excess = (jnp.sum(counts_s[P:] > fast_batch) + jnp.sum(counts_s[Z:] > 0)
+    need_ultra = jnp.sum(counts > ULTRA_K)
+    # Each out-of-tier tile counted once: mid-region tiles needing more
+    # than k_mid words, fast-tier tiles too heavy for the straight-line
+    # kernel, plus zero-tier tiles that aren't empty.
+    excess = (jnp.sum(counts_s[P:Z] > fast_batch) + jnp.sum(counts_s[Z:] > 0)
               ).astype(jnp.int32)
+    if k_mid is not None:
+        excess = excess + jnp.sum(counts_s[U:P] > k_mid).astype(jnp.int32)
 
     parts_bt, parts_bid = [], []
-    if P > 0:
+    if U > 0:
+        bt_u, bid_u = _run_sorted_region(
+            o4[:U], d4[:U], words_s[:U], counts_s[:U], accel, t_min,
+            interpret, group, batch, w_all)
+        parts_bt.append(bt_u)
+        parts_bid.append(bid_u)
+    if P > U:
+        wmid = words_s[U:P]
+        cmid = counts_s[U:P]
+        if k_mid is not None and k_mid < wmid.shape[1]:
+            wmid = wmid[:, :max(8, -(-k_mid // 8) * 8)]
+            # Clamp so the while loop stays in-bounds; over-k_mid tiles
+            # here are wrong-and-surfaced via excess.
+            cmid = jnp.minimum(cmid, k_mid)
         bt_g, bid_g = _run_sorted_region(
-            o4[:P], d4[:P], words_s[:P], counts_s[:P], accel, t_min,
+            o4[U:P], d4[U:P], wmid, cmid, accel, t_min,
             interpret, group, batch, w_all)
         parts_bt.append(bt_g)
         parts_bid.append(bid_g)
@@ -523,7 +610,7 @@ def trace_tiles_split(o_t, d_t, accel: ClusterAccel, words, counts,
         parts_bid.append(jnp.full((n_tiles - Z, tr), -1, jnp.int32))
     bt = jnp.concatenate(parts_bt)[inv]
     bid = jnp.concatenate(parts_bid)[inv]
-    return bt, bid, excess, (need_split, need_zero)
+    return bt, bid, excess, (need_split, need_zero, need_ultra)
 
 
 def any_hit_tiles_sorted(o_t, d_t, t_max_t, accel: ClusterAccel, words, counts,
@@ -541,10 +628,14 @@ def any_hit_tiles_graded(o_t, d_t, t_max_t, accel: ClusterAccel, words,
                          counts, b1_split: int, zero_split: int,
                          t_min=T_MIN, interpret: bool = False,
                          group: int = DEFAULT_GROUP,
-                         batch: int = ANYHIT_BATCH):
+                         batch: int = ANYHIT_BATCH,
+                         ultra_split: int = 0, k_mid: int | None = None):
     """Batch-graded occlusion over count-sorted tiles:
 
-      [0, b1_split)          lockstep kernel at B=batch (heavy tiles);
+      [0, ultra_split)       lockstep kernel at B=batch, FULL word width
+                             (active only when k_mid is not None — see
+                             trace_tiles_split's ultra tier rationale);
+      [ultra, b1_split)      lockstep kernel at B=batch, width k_mid;
       [b1_split, zero_split) the SAME kernel at B=1 — at B=4 every tile in
                              a group burns ceil(n_max/4)*4 candidate slots,
                              so the count<=1 majority wasted 3 dense passes
@@ -552,10 +643,11 @@ def any_hit_tiles_graded(o_t, d_t, t_max_t, accel: ClusterAccel, words,
       [zero_split, Ntiles)   no kernel — unoccluded constants.
 
     Unlike the (removed) straight-line fast tier, a mis-sized b1_split only
-    costs SPEED — both kernel regions run the full while loop and are
-    correct for any count. Only the zero tier can be wrong, so excess
-    counts exactly the tiles with count > 0 past zero_split. Returns
-    (occ (Ntiles, TR) bool, excess, (need_b1, need_zero))."""
+    costs SPEED — all kernel regions run the full while loop and are
+    correct for any count within their word width. The zero tier and (with
+    k_mid) over-width tiles below the ultra region can be wrong; both are
+    counted into excess. Returns (occ (Ntiles, TR) bool, excess,
+    (need_b1, need_zero, need_ultra))."""
     n_tiles, tr, _ = o_t.shape
     o4, d4, tmax3, order, inv, words_s, counts_s, w_all = _anyhit_prep(
         o_t, d_t, t_max_t, accel, words, counts)
@@ -565,24 +657,43 @@ def any_hit_tiles_graded(o_t, d_t, t_max_t, accel: ClusterAccel, words,
             _round_group(n_tiles, group))
     S = min(S, n_tiles)
     Z = min(Z, n_tiles)
+    U = 0
+    if k_mid is not None:
+        U = min(_round_group(max(ultra_split, 0), group), S)
 
     need_b1 = jnp.sum(counts > 1)
     need_zero = jnp.sum(counts > 0)
+    need_ultra = jnp.sum(counts > ULTRA_K)
     excess = jnp.sum(counts_s[Z:] > 0).astype(jnp.int32)
+    if k_mid is not None:
+        excess = excess + jnp.sum(counts_s[U:Z] > k_mid).astype(jnp.int32)
+
+    km8 = None if k_mid is None else max(8, -(-k_mid // 8) * 8)
+
+    def mid(words_r, counts_r):
+        if k_mid is not None and km8 < words_r.shape[1]:
+            return words_r[:, :km8], jnp.minimum(counts_r, k_mid)
+        return words_r, counts_r
 
     parts = []
-    if S > 0:
+    if U > 0:
         parts.append(_run_anyhit_region(
-            o4[:S], d4[:S], tmax3[:S], words_s[:S], counts_s[:S], accel,
+            o4[:U], d4[:U], tmax3[:U], words_s[:U], counts_s[:U], accel,
+            t_min, interpret, group, batch, w_all))
+    if S > U:
+        w_m, c_m = mid(words_s[U:S], counts_s[U:S])
+        parts.append(_run_anyhit_region(
+            o4[U:S], d4[U:S], tmax3[U:S], w_m, c_m, accel,
             t_min, interpret, group, batch, w_all))
     if Z > S:
+        w_m, c_m = mid(words_s[S:Z], counts_s[S:Z])
         parts.append(_run_anyhit_region(
-            o4[S:Z], d4[S:Z], tmax3[S:Z], words_s[S:Z], counts_s[S:Z],
+            o4[S:Z], d4[S:Z], tmax3[S:Z], w_m, c_m,
             accel, t_min, interpret, group, 1, w_all))
     if n_tiles > Z:
         parts.append(jnp.zeros((n_tiles - Z, tr), bool))
     occ = jnp.concatenate(parts)[inv]
-    return occ, excess, (need_b1, need_zero)
+    return occ, excess, (need_b1, need_zero, need_ultra)
 
 
 def _anyhit_prep(o_t, d_t, t_max_t, accel, words, counts):
