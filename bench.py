@@ -25,20 +25,42 @@ BASELINE_RAYS_PER_S = 100e6  # >=100M rays/s/chip target (BASELINE.json:5)
 
 
 def scaling_rows() -> int:
-    """--scaling: emit BASELINE.md scaling-table rows. Single-chip row is
-    measured on the attached chip; multi-chip rows require pod hardware not
-    present in this environment and are marked pending (SURVEY.md §4)."""
+    """--scaling: emit BASELINE.md scaling-table rows.
+
+    With >1 visible device this MEASURES the sharded accel render
+    (dist.scaling.scaling_sweep) over submeshes of 1, 2, ..., N devices
+    and prints efficiency per row — on pod hardware this is the BASELINE
+    table; on a forced CPU mesh the rows are labeled cpu-mesh (the harness
+    is proven, the timings aren't hardware). With exactly one device the
+    single-chip row is measured and multi-chip rows stay pending."""
     import jax
+
+    from tracer.utils.config import load_config
+
+    preset = os.environ.get("BENCH_PRESET", "bench100k")
+    iters = int(os.environ.get("BENCH_ITERS", "5"))
+    devs = jax.devices()
+    n = len(devs)
+    kind = devs[0].device_kind
+    print("| Topology | rays/s | scaling efficiency | status |")
+    print("|---|---|---|---|")
+    if n > 1:
+        from tracer.dist.scaling import scaling_sweep
+
+        status = ("measured" if jax.default_backend() == "tpu"
+                  else "cpu-mesh (harness proof; timings not hardware)")
+        rows = scaling_sweep(load_config(preset), iters=iters)
+        for r in rows:
+            print(f"| {r['devices']}x {kind} | "
+                  f"{r['rays_per_s'] / 1e6:.1f} Mrays/s | "
+                  f"{r['efficiency'] * 100:.1f}% | {status} |")
+        return 0
 
     from tracer.api import benchmark
 
-    n = len(jax.devices())
-    result = benchmark(os.environ.get("BENCH_PRESET", "bench100k"),
-                       iters=int(os.environ.get("BENCH_ITERS", "5")))
+    result = benchmark(preset, iters=iters)
     mray = result["rays_per_s"] / 1e6
-    print("| Topology | rays/s | scaling efficiency | status |")
-    print("|---|---|---|---|")
-    print(f"| 1 chip ({jax.devices()[0].device_kind}) | {mray:.1f} Mrays/s "
+    print(f"| 1 chip ({kind}) | {mray:.1f} Mrays/s "
           f"| 100% (definition) | measured |")
     for label in ("1 host (4 chips)", "4 hosts (16 chips)"):
         print(f"| {label} | — | target >=85% | pending pod hardware "

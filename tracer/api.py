@@ -78,6 +78,14 @@ def build_tracers(scene: Scene, cfg: RenderConfig):
             # v2: per-tile front-to-back scan with early termination,
             # geometry VMEM-resident (kernels.traversal2).
             return make_sorted_tracers(scene, accel)
+        if use_pallas:
+            # Streamed v2 tier: same sorted candidate walk, cluster blocks
+            # demand-fetched HBM -> VMEM ring buffer (kernels.stream) —
+            # replaces the 10x-slower v1 work-list fallback for scenes
+            # past the VMEM-resident budget.
+            from tracer.kernels.stream import make_streamed_tracers
+
+            return make_streamed_tracers(scene, accel)
         return make_accel_tracers(scene, accel, use_pallas=use_pallas)
     return make_brute_tracers(scene)
 
