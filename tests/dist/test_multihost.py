@@ -48,6 +48,13 @@ for shard in img.addressable_shards:
     want = ref[shard.index]
     mism = np.mean(~np.isclose(got, want, rtol=1e-4, atol=1e-4))
     assert mism < 0.05, f"proc {pid} shard {shard.index}: {mism:.2%} differ"
+    # Two-sided gate (VERDICT r4 weak #7): tiny 32x32 shards may flip a
+    # few silhouette pixels across compilations, but the bulk of the
+    # field must agree at fp32-rounding scale, so a broad numeric
+    # regression can't hide inside the 5%% budget.
+    err = np.abs(got - want).max(axis=-1)
+    p90 = np.percentile(err, 90)
+    assert p90 < 1e-5, f"proc {pid} shard {shard.index}: p90 err {p90:.2e}"
 print(f"MULTIHOST_PASS {pid}", flush=True)
 """
 

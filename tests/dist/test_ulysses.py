@@ -81,5 +81,9 @@ def test_resharded_bounce_render_matches_plain():
                                         reshard_bounces=True)
     img_p = np.asarray(plain(scene, cam))
     img_r = np.asarray(resh(scene, cam))
-    mismatch = np.mean(~np.isclose(img_r, img_p, rtol=1e-5, atol=1e-6))
-    assert mismatch < 1e-3, f"{mismatch:.4%} pixels differ"
+    from tests.dist.gates import dist_check
+
+    # Exactness claim -> the tightest gate: 0.1% flip budget AND p98 at
+    # fp32-rounding scale (two-sided, VERDICT r4 weak #7).
+    dist_check(img_r, img_p, frac_tol=1e-3, p98_tol=1e-6,
+               rtol=1e-5, atol=1e-6)

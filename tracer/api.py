@@ -123,11 +123,12 @@ def make_render_fn(scene: Scene, cfg: RenderConfig):
         from tracer.bvh import build_scene_accel
         from tracer.render.tiled import render_tiled, K_CLOSEST, S_CAP
         from tracer.kernels.traversal2 import DEFAULT_K, ULTRA_K
+        from tracer.bvh.cull import S_MID
 
         build = jax.jit(build_scene_accel)
 
         def build_run(caps):
-            kc, k, s, split, sh_split, ultra, sh_ultra = caps
+            kc, k, s, split, sh_split, ultra, sh_ultra, s_u = caps
 
             @jax.jit
             def run_tiled(scene: Scene, accel, camera: Camera):
@@ -137,7 +138,7 @@ def make_render_fn(scene: Scene, cfg: RenderConfig):
                                     closest_split=split,
                                     shadow_split=sh_split,
                                     closest_ultra=ultra,
-                                    shadow_ultra=sh_ultra,
+                                    shadow_ultra=sh_ultra, s_ultra=s_u,
                                     interpret=_tiled_interpret())
 
             return run_tiled
@@ -151,7 +152,8 @@ def make_render_fn(scene: Scene, cfg: RenderConfig):
         # (VERDICT r3 weak #2/#8). A camera moving later can still
         # overflow; aux['overflow'] stays exposed and bench fails on it.
         state = {"scene": None, "accel": None,
-                 "caps": (K_CLOSEST, DEFAULT_K, S_CAP, None, None, None, None),
+                 "caps": (K_CLOSEST, DEFAULT_K, S_CAP, None, None, None,
+                          None, None),
                  "run": None}
 
         def _size_caps(scene, accel, camera):
@@ -164,7 +166,7 @@ def make_render_fn(scene: Scene, cfg: RenderConfig):
                     state["run"] = build_run(state["caps"])
                 img, aux = state["run"](scene, accel, camera)
                 overflowed = int(aux["overflow"]) != 0
-                kc, k, s, split, sh_split, ultra, sh_ultra = state["caps"]
+                kc, k, s, split, sh_split, ultra, sh_ultra, s_u = state["caps"]
                 # First frame also measures the tile count distributions
                 # for the closest three-tier partition (trace_tiles_split)
                 # and the batch-graded any-hit (any_hit_tiles_graded); +8
@@ -188,9 +190,19 @@ def make_render_fn(scene: Scene, cfg: RenderConfig):
 
                 want_u = want_ultra(kc, ultra, "need_ultra")
                 want_su = want_ultra(k, sh_ultra, "need_sh_ultra")
+                # Cull s_ultra tier: when a few grazing tiles force the
+                # supercluster cap far past S_MID, keep the stage-2 sort
+                # narrow for the rest (bvh.cull s_ultra).
+                if s <= 2 * S_MID:
+                    want_s_u = s_u
+                else:
+                    nsu = min(r8(aux["need_s_mid"]) + 8, n_tiles)
+                    if s_u is not None:
+                        nsu = max(nsu, s_u[0])
+                    want_s_u = (nsu, S_MID)
                 if (not overflowed and split is not None
                         and sh_split is not None and ultra == want_u
-                        and sh_ultra == want_su):
+                        and sh_ultra == want_su and s_u == want_s_u):
                     return
                 if overflowed:
                     # need_s is EXACT (stage 1 is measured untruncated);
@@ -213,7 +225,8 @@ def make_render_fn(scene: Scene, cfg: RenderConfig):
                                max(want_sh[1], sh_split[1]))
                 import sys
 
-                new_caps = (kc, k, s, want_split, want_sh, want_u, want_su)
+                new_caps = (kc, k, s, want_split, want_sh, want_u,
+                            want_su, want_s_u)
                 print(f"[tracer] sizing (overflow {int(aux['overflow'])}): "
                       f"caps {state['caps']} -> {new_caps}", file=sys.stderr)
                 state["caps"] = new_caps
@@ -226,7 +239,7 @@ def make_render_fn(scene: Scene, cfg: RenderConfig):
             print(f"[tracer] sizing did not converge; falling back to full "
                   f"caps (was {state['caps']})", file=sys.stderr)
             state["caps"] = (n_cl, n_cl, n_sc, (n_tiles, n_tiles),
-                             (n_tiles, n_tiles), None, None)
+                             (n_tiles, n_tiles), None, None, None)
             state["run"] = build_run(state["caps"])
 
         def run(scene: Scene, camera: Camera, with_aux: bool = False,
@@ -237,7 +250,7 @@ def make_render_fn(scene: Scene, cfg: RenderConfig):
                 # Reset to the defaults so a small scene after a large one
                 # doesn't inherit oversized caps (compile/VMEM pressure).
                 state["caps"] = (K_CLOSEST, DEFAULT_K, S_CAP, None, None,
-                                 None, None)
+                                 None, None, None)
                 state["run"] = None
                 _size_caps(scene, state["accel"], camera)
             img, aux = state["run"](scene, state["accel"], camera)
@@ -302,7 +315,7 @@ def sized_tiled_caps(scene: Scene, camera: Camera, cfg: RenderConfig,
     way)."""
     run = make_render_fn(scene, cfg)
     run(scene, camera)
-    kc, k, s, split, sh_split, ultra, sh_ultra = run.state["caps"]
+    kc, k, s, split, sh_split, ultra, sh_ultra, s_u = run.state["caps"]
     accel = run.state["accel"]
     n_cl = accel.num_clusters
     n_sc = accel.super_lo.shape[0]
@@ -314,7 +327,7 @@ def sized_tiled_caps(scene: Scene, camera: Camera, cfg: RenderConfig,
                                                 n_tiles), u[1])
     return (min(r8(kc + slack), n_cl), min(r8(k + slack), n_cl),
             min(s + 2, n_sc), widen(split), widen(sh_split),
-            widen_u(ultra), widen_u(sh_ultra))
+            widen_u(ultra), widen_u(sh_ultra), widen_u(s_u))
 
 
 def make_grad_step_fn(cfg: RenderConfig, optimizer, scene: Scene = None,
@@ -363,7 +376,8 @@ def make_grad_step_fn(cfg: RenderConfig, optimizer, scene: Scene = None,
                 kw = {} if caps is None else dict(
                     k_closest=caps[0], k_cap=caps[1], s_cap=caps[2],
                     closest_split=caps[3], shadow_split=caps[4],
-                    closest_ultra=caps[5], shadow_ultra=caps[6])
+                    closest_ultra=caps[5], shadow_ultra=caps[6],
+                    s_ultra=caps[7])
                 img = render_tiled(s, accel, cam, cfg.height, cfg.width,
                                    wcfg, interpret=interpret, **kw)
                 return jnp.mean((img - target) ** 2)

@@ -156,14 +156,23 @@ def _tile_tmax(t_max):
     return jnp.asarray(t_max)[None, None] if jnp.ndim(t_max) == 0 else t_max
 
 
+# Stage-2 supercluster width of the non-heavy tile region when the cull's
+# s_ultra tier is active, and the threshold `need_s_mid` is measured against.
+S_MID = 24
+
+
 def cull_clusters_sorted2(accel, o: jax.Array, d: jax.Array, t_max,
-                          k_cap: int, s_cap: int = 16):
+                          k_cap: int, s_cap: int = 16,
+                          bf16_fetch: bool = True,
+                          s_ultra: tuple[int, int] | None = None):
     """Two-stage front-to-back cull: superclusters first, then only the
     survivors' clusters. Contract of cull_clusters_sorted plus a fourth
-    return `need = (need_k, need_s)`: the max over tiles of the UNCLIPPED
-    cluster/supercluster candidate counts — what k_cap/s_cap would have to
-    be for this pass to be exact. The API's cap auto-sizing reads these
-    (VERDICT r3 weak #8: count-driven cap choice).
+    return `need = (need_k, need_s, need_s_mid)`: the max over tiles of
+    the UNCLIPPED cluster/supercluster candidate counts — what
+    k_cap/s_cap would have to be for this pass to be exact — plus the
+    tile count exceeding S_MID superclusters (what an s_ultra split must
+    cover). The API's cap auto-sizing reads these (VERDICT r3 weak #8:
+    count-driven cap choice).
 
     Why: the single-stage cull's per-tile sort is (Ntiles, Ncl) wide — at
     100k tris (Ncl ~ 800) the sort alone was ~13 ms/frame x2 passes. Stage
@@ -193,9 +202,11 @@ def cull_clusters_sorted2(accel, o: jax.Array, d: jax.Array, t_max,
         # supercluster whose SUPER_FACTOR clusters all fit): excess is
         # structurally 0 and the needs are moot.
         words, counts, excess = cull_clusters_sorted(accel, o, d, t_max, k_cap)
-        return words, counts, excess, (jnp.int32(0), jnp.int32(0))
+        return words, counts, excess, (jnp.int32(0), jnp.int32(0),
+                                       jnp.int32(0))
     o_lo, o_hi, d_lo, d_hi = tile_bounds(o, d)
-    t_max_tile = _tile_tmax(t_max)
+    n_tiles = o_lo.shape[0]
+    t_max_tile = jnp.broadcast_to(_tile_tmax(t_max), (n_tiles, 1))
 
     # Stage 1: superclusters (Ntiles, Nsc) — small test, small sort.
     ok_s, t_s = frustum_aabb_entry(
@@ -203,57 +214,132 @@ def cull_clusters_sorted2(accel, o: jax.Array, d: jax.Array, t_max,
         accel.super_lo[None], accel.super_hi[None], t_max_tile)
     sup_counts = jnp.sum(ok_s, axis=1).astype(jnp.int32)
     sc_ids = jnp.arange(n_sc, dtype=jnp.int32)[None, :]
-    words_s = jnp.sort(pack_candidates(t_s, sc_ids, ok_s), axis=1)
-    S = min(s_cap, n_sc)
-    words_s = words_s[:, :S]
-    sid = jnp.minimum(words_s & _CL_MASK, n_sc - 1)
-    slot_ok = jnp.arange(S, dtype=jnp.int32)[None, :] < jnp.minimum(sup_counts, S)[:, None]
-    # Each supercluster dropped past s_cap hides >= 1 feasible cluster.
-    sup_excess = jnp.sum(jnp.maximum(sup_counts - S, 0))
+    words_s1 = jnp.sort(pack_candidates(t_s, sc_ids, ok_s), axis=1)
 
-    # One-hot MXU fetch of the survivors' cluster AABBs. Padding clusters
-    # (shorter last supercluster) get lo > hi finite sentinels: infeasible
-    # by construction, and finite so 0*x in the matmul can't make NaNs.
+    # One-hot MXU fetch of the survivors' cluster AABBs. Default
+    # (bf16_fetch): the table is OUTWARD-ROUNDED bf16 — lo shifted down
+    # (hi up) by > one bf16 ulp before the cast, so the bf16 box strictly
+    # contains the f32 box and the interval test stays conservative, while
+    # the fetched intermediate — the largest materialization of the pass,
+    # (Ntiles, S, F*6) — halves in bytes and the one-hot product runs as a
+    # single MXU pass (a one-hot row times exact-bf16 values is reproduced
+    # exactly at any precision). Box growth is ~0.4%/side -> <1% extra
+    # candidates (the cull is ~1% from brute-force-true already).
+    # bf16_fetch=False keeps the bit-exact f32 fetch (precision=HIGHEST:
+    # bf16 rounding of an un-shifted AABB could cull a real hit) — the
+    # mode the two-stage == dense equality proof runs in.
+    # Padding clusters (shorter last supercluster) get lo > hi finite
+    # sentinels: infeasible by construction, NaN-safe in the matmul.
     big = jnp.float32(3e37)
+    if bf16_fetch:
+        ftype = jnp.bfloat16
+        outward = lambda x, s: (x + s * (jnp.abs(x) * 4e-3 + 1e-30)
+                                ).astype(ftype)
+        prec = None
+    else:
+        ftype = jnp.float32
+        outward = lambda x, s: x
+        prec = jax.lax.Precision.HIGHEST
     lo_t = jnp.concatenate(
-        [accel.cluster_lo, jnp.full((n_sc * F - n_cl, 3), big)])
+        [outward(accel.cluster_lo, -1.0),
+         jnp.full((n_sc * F - n_cl, 3), big, ftype)])
     hi_t = jnp.concatenate(
-        [accel.cluster_hi, jnp.full((n_sc * F - n_cl, 3), -big)])
+        [outward(accel.cluster_hi, 1.0),
+         jnp.full((n_sc * F - n_cl, 3), -big, ftype)])
     table = jnp.concatenate([lo_t.reshape(n_sc, F, 3),
                              hi_t.reshape(n_sc, F, 3)], axis=-1)
     table = table.reshape(n_sc, F * 6)
-    onehot = (sid[..., None] == sc_ids[None]).astype(jnp.float32)
-    onehot = jnp.where(slot_ok[..., None], onehot, 0.0)  # (Ntiles, S, Nsc)
-    fetched = jax.lax.dot_general(
-        onehot, table, (((2,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST)  # (Ntiles, S, F*6)
-    fetched = fetched.reshape(-1, S, F, 6)
-    # Invalid slots fetched all-zero rows (lo == hi == 0): a degenerate box
-    # at the origin IS feasible for rays near it, so force lo > hi there.
-    box_lo = jnp.where(slot_ok[..., None, None], fetched[..., 0:3], big)
-    box_hi = jnp.where(slot_ok[..., None, None], fetched[..., 3:6], -big)
-
-    # Stage 2: clusters of surviving superclusters (Ntiles, S*F).
-    ok2, t2 = frustum_aabb_entry(
-        o_lo[:, None, None], o_hi[:, None, None],
-        d_lo[:, None, None], d_hi[:, None, None],
-        box_lo, box_hi, t_max_tile[..., None])
-    cl_ids = jnp.minimum(sid[..., None] * F
-                         + jnp.arange(F, dtype=jnp.int32)[None, None, :],
-                         n_cl - 1)
-    ok2 = ok2.reshape(-1, S * F)
-    words = pack_candidates(t2.reshape(-1, S * F), cl_ids.reshape(-1, S * F), ok2)
-    words = jnp.sort(words, axis=1)
-    counts = jnp.sum(ok2, axis=1).astype(jnp.int32)
     k = min(k_cap, n_cl)
+
+    def stage2(ws1, sup_counts_r, bnds, tmax_r, S):
+        """Stage 2 over a tile slice at supercluster width S -> packed,
+        sorted, k_cap-padded words + counts + supercluster excess."""
+        olo, ohi, dlo, dhi = bnds
+        words_s = ws1[:, :S]
+        sid = jnp.minimum(words_s & _CL_MASK, n_sc - 1)
+        slot_ok = (jnp.arange(S, dtype=jnp.int32)[None, :]
+                   < jnp.minimum(sup_counts_r, S)[:, None])
+        # Each supercluster dropped past S hides >= 1 feasible cluster.
+        sup_excess = jnp.sum(jnp.maximum(sup_counts_r - S, 0))
+        onehot = (sid[..., None] == sc_ids[None]).astype(ftype)
+        onehot = jnp.where(slot_ok[..., None], onehot,
+                           ftype(0.0))  # (Nt_r, S, Nsc)
+        fetched = jax.lax.dot_general(
+            onehot, table, (((2,), (0,)), ((), ())),
+            precision=prec, preferred_element_type=ftype)  # (Nt_r, S, F*6)
+        fetched = fetched.reshape(-1, S, F, 6)
+        # Invalid slots fetched all-zero rows (lo == hi == 0): a
+        # degenerate box at the origin IS feasible for rays near it, so
+        # force lo > hi there.
+        box_lo = jnp.where(slot_ok[..., None, None], fetched[..., 0:3],
+                           ftype(big)).astype(jnp.float32)
+        box_hi = jnp.where(slot_ok[..., None, None], fetched[..., 3:6],
+                           ftype(-big)).astype(jnp.float32)
+        ok2, t2 = frustum_aabb_entry(
+            olo[:, None, None], ohi[:, None, None],
+            dlo[:, None, None], dhi[:, None, None],
+            box_lo, box_hi, tmax_r[..., None])
+        cl_ids = jnp.minimum(sid[..., None] * F
+                             + jnp.arange(F, dtype=jnp.int32)[None, None, :],
+                             n_cl - 1)
+        ok2 = ok2.reshape(-1, S * F)
+        words = pack_candidates(t2.reshape(-1, S * F),
+                                cl_ids.reshape(-1, S * F), ok2)
+        words = jnp.sort(words, axis=1)
+        counts = jnp.sum(ok2, axis=1).astype(jnp.int32)
+        words = words[:, :min(k, S * F)]
+        if words.shape[1] < k_cap:
+            pad = jnp.full((words.shape[0], k_cap - words.shape[1]),
+                           WORD_INVALID, jnp.int32)
+            words = jnp.concatenate([words, pad], axis=1)
+        return words, counts, sup_excess
+
+    bounds = (o_lo, o_hi, d_lo, d_hi)
+    # need_s_mid: tiles whose stage-1 count exceeds the fixed S_MID — what
+    # the s_ultra split would have to cover (measured against the
+    # constant, like the kernels' ULTRA_K).
+    need_s_mid = jnp.sum(sup_counts > S_MID)
+    if s_ultra is not None and min(s_cap, n_sc) > s_ultra[1]:
+        # s_ultra = (U, s_mid): the U tiles with the most feasible
+        # superclusters run stage 2 at full s_cap width; the rest at
+        # s_mid. Same measure-escalate contract as the kernels' ultra-k:
+        # a region-B tile with sup_count > s_mid is surfaced via excess
+        # (>= 1 hidden cluster each), and the sizing loop widens U. This
+        # is what keeps the stage-2 sort narrow when a few grazing tiles
+        # force s_cap into the hundreds (sponza: s=121 -> width 1936 for
+        # every tile; the sort dominated the frame).
+        U, s_mid = s_ultra
+        U = max(0, min(int(U), n_tiles))
+        order = jnp.argsort(-sup_counts).astype(jnp.int32)
+        inv = jnp.argsort(order).astype(jnp.int32)
+        ws1_s = words_s1[order]
+        sup_s = sup_counts[order]
+        bnds_s = tuple(b[order] for b in bounds)
+        tmax_s = t_max_tile[order]
+        parts_w, parts_c, sup_excess = [], [], jnp.int32(0)
+        if U > 0:
+            wA, cA, eA = stage2(ws1_s[:U], sup_s[:U],
+                                tuple(b[:U] for b in bnds_s), tmax_s[:U],
+                                min(s_cap, n_sc))
+            parts_w.append(wA)
+            parts_c.append(cA)
+            sup_excess = sup_excess + eA
+        if n_tiles > U:
+            wB, cB, eB = stage2(ws1_s[U:], sup_s[U:],
+                                tuple(b[U:] for b in bnds_s), tmax_s[U:],
+                                min(s_mid, n_sc))
+            parts_w.append(wB)
+            parts_c.append(cB)
+            sup_excess = sup_excess + eB
+        words = jnp.concatenate(parts_w)[inv]
+        counts = jnp.concatenate(parts_c)[inv]
+    else:
+        words, counts, sup_excess = stage2(words_s1, sup_counts, bounds,
+                                           t_max_tile, min(s_cap, n_sc))
     excess = jnp.sum(jnp.maximum(counts - k, 0)) + sup_excess
-    words = words[:, :k]
-    if k < k_cap:
-        pad = jnp.full((words.shape[0], k_cap - k), WORD_INVALID, jnp.int32)
-        words = jnp.concatenate([words, pad], axis=1)
     # need_k is a lower bound when superclusters overflowed (the dropped
     # ones' clusters were never tested); the sizing loop iterates.
-    need = (jnp.max(counts), jnp.max(sup_counts))
+    need = (jnp.max(counts), jnp.max(sup_counts), need_s_mid)
     return words, jnp.minimum(counts, k_cap), excess, need
 
 

@@ -90,7 +90,7 @@ def make_loss_fn(scene: Scene, camera: Camera, target: jax.Array,
                 k_closest=tiled_caps[0], k_cap=tiled_caps[1],
                 s_cap=tiled_caps[2], closest_split=tiled_caps[3],
                 shadow_split=tiled_caps[4], closest_ultra=tiled_caps[5],
-                shadow_ultra=tiled_caps[6])
+                shadow_ultra=tiled_caps[6], s_ultra=tiled_caps[7])
             return jnp.mean((img - target) ** 2)
         rays = generate_rays(camera, cfg.height, cfg.width)
         if fcfg.edge_aware and cfg.use_bvh:

@@ -60,7 +60,7 @@ def mt_from_edges(o, d, v0, e1, e2, t_min=T_MIN, eps=1e-12, bary_eps=1e-5):
 
 
 def _trace_rows(accel: ClusterAccel, o_t, d_t, k_cap, s_cap, split,
-                interpret, ultra=None):
+                interpret, ultra=None, s_ultra=None):
     """Kernel selection pass -> (gid, rows, excess, need, split_need). All
     kernel inputs are stop-gradiented; gradients flow through the row
     recompute instead. `split` = (generic, nonzero) static tile partition
@@ -70,7 +70,7 @@ def _trace_rows(accel: ClusterAccel, o_t, d_t, k_cap, s_cap, split,
     sg = jax.lax.stop_gradient
     accel_sg = sg(accel)
     words, counts, excess, need = cull_clusters_sorted2(
-        accel_sg, sg(o_t), sg(d_t), T_FAR, k_cap, s_cap)
+        accel_sg, sg(o_t), sg(d_t), T_FAR, k_cap, s_cap, s_ultra=s_ultra)
     u_split, k_mid = ultra if ultra is not None else (0, None)
     _bt, gid, t_excess, split_need = trace_tiles_split(
         sg(o_t), sg(d_t), accel_sg, words, counts, split[0], split[1],
@@ -86,7 +86,7 @@ def _trace_rows(accel: ClusterAccel, o_t, d_t, k_cap, s_cap, split,
 
 
 def _segment_occluded(accel: ClusterAccel, light_pos, p_t, eps_t, k_cap,
-                      s_cap, split, interpret, ultra=None):
+                      s_cap, split, interpret, ultra=None, s_ultra=None):
     """Occlusion of the segment light<->p, traced FROM THE LIGHT.
 
     Shadow rays share the light as a common origin, so the per-tile frustum
@@ -111,7 +111,7 @@ def _segment_occluded(accel: ClusterAccel, light_pos, p_t, eps_t, k_cap,
     seg_len = jnp.sqrt(jnp.maximum(jnp.sum(d_t * d_t, axis=-1), 1e-20))
     t_max_t = 1.0 - eps_t / seg_len
     words, counts, excess, need = cull_clusters_sorted2(
-        accel_sg, o_t, d_t, t_max_t, k_cap, s_cap)
+        accel_sg, o_t, d_t, t_max_t, k_cap, s_cap, s_ultra=s_ultra)
     u_split, k_mid = ultra if ultra is not None else (0, None)
     occ, t_excess, sneed = any_hit_tiles_graded(
         o_t, d_t, t_max_t, accel_sg, words, counts, split[0], split[1],
@@ -138,7 +138,8 @@ def render_tiled(scene, accel: ClusterAccel, camera: Camera,
                  closest_split: tuple[int, int] | None = None,
                  shadow_split: tuple[int, int] | None = None,
                  closest_ultra: tuple[int, int] | None = None,
-                 shadow_ultra: tuple[int, int] | None = None):
+                 shadow_ultra: tuple[int, int] | None = None,
+                 s_ultra: tuple[int, int] | None = None):
     # tr=64 (8x8-pixel tiles): measured 2.4x faster than 16x16 at 1080p —
     # tighter tile frusta cut candidates/tile 5x (mean 18.3 -> 3.5), which
     # outweighs the 4x tile count; VPU blocks stay full at (64, 384).
@@ -161,6 +162,7 @@ def render_tiled(scene, accel: ClusterAccel, camera: Camera,
     need_sh_zero = jnp.int32(0)
     need_ultra = jnp.int32(0)
     need_sh_ultra = jnp.int32(0)
+    need_s_mid = jnp.int32(0)
     o_t, d_t, tiling = generate_rays_tiled(camera, height, width, tr)
     n_tiles = o_t.shape[0]
     # Default splits = everything in the generic tier (always correct); the
@@ -185,10 +187,12 @@ def render_tiled(scene, accel: ClusterAccel, camera: Camera,
                                         dtype=jnp.int32)
         gid, rows, exc, need, sneed = _trace_rows(accel, o_t, d_t, kc, s_cap,
                                                   split, interpret,
-                                                  ultra=closest_ultra)
+                                                  ultra=closest_ultra,
+                                                  s_ultra=s_ultra)
         overflow = overflow + exc
         need_closest = jnp.maximum(need_closest, need[0])
         need_s = jnp.maximum(need_s, need[1])
+        need_s_mid = jnp.maximum(need_s_mid, need[2])
         need_split = jnp.maximum(need_split, sneed[0])
         need_zero = jnp.maximum(need_zero, sneed[1])
         need_ultra = jnp.maximum(need_ultra, sneed[2])
@@ -233,10 +237,11 @@ def render_tiled(scene, accel: ClusterAccel, camera: Camera,
             target = jnp.where(lit[..., None], p + n * RAY_EPS, lpos)
             occ, exc, need, sneed = _segment_occluded(
                 accel, lpos, target, jnp.float32(RAY_EPS), k, s_cap,
-                sh_split, interpret, ultra=shadow_ultra)
+                sh_split, interpret, ultra=shadow_ultra, s_ultra=s_ultra)
             overflow = overflow + exc
             need_shadow = jnp.maximum(need_shadow, need[0])
             need_s = jnp.maximum(need_s, need[1])
+            need_s_mid = jnp.maximum(need_s_mid, need[2])
             need_sh_b1 = jnp.maximum(need_sh_b1, sneed[0])
             need_sh_zero = jnp.maximum(need_sh_zero, sneed[1])
             need_sh_ultra = jnp.maximum(need_sh_ultra, sneed[2])
@@ -272,5 +277,6 @@ def render_tiled(scene, accel: ClusterAccel, camera: Camera,
                      "need_sh_b1": need_sh_b1, "need_sh_zero": need_sh_zero,
                      "need_ultra": need_ultra,
                      "need_sh_ultra": need_sh_ultra,
+                     "need_s_mid": need_s_mid,
                      "live_rays": live_rays}
     return img
