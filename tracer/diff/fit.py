@@ -81,6 +81,7 @@ def make_loss_fn(scene: Scene, camera: Camera, target: jax.Array,
     def loss_fn(params):
         s = _apply_params(scene, params)
         if tiled_caps is not None:
+            from tracer.api import _tiled_interpret
             from tracer.bvh import build_scene_accel
             from tracer.render.tiled import render_tiled
 
@@ -90,7 +91,8 @@ def make_loss_fn(scene: Scene, camera: Camera, target: jax.Array,
                 k_closest=tiled_caps[0], k_cap=tiled_caps[1],
                 s_cap=tiled_caps[2], closest_split=tiled_caps[3],
                 shadow_split=tiled_caps[4], closest_ultra=tiled_caps[5],
-                shadow_ultra=tiled_caps[6], s_ultra=tiled_caps[7])
+                shadow_ultra=tiled_caps[6], s_ultra=tiled_caps[7],
+                interpret=_tiled_interpret())
             return jnp.mean((img - target) ** 2)
         rays = generate_rays(camera, cfg.height, cfg.width)
         if fcfg.edge_aware and cfg.use_bvh:

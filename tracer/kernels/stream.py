@@ -42,17 +42,18 @@ def _word_cl(words, base, k, k_cap, n_cl):
     return jnp.minimum(word & _CL_MASK, n_cl - 1)
 
 
-def _closest_stream_kernel(k_cap, c, t_min, g_sz, n_cl, words, counts,
-                           o4_ref, d4_ref, w_hbm, bt_ref, bid_ref,
+def _closest_stream_kernel(k_cap, c, t_min, g_sz, batch, n_cl, words,
+                           counts, o4_ref, d4_ref, w_hbm, bt_ref, bid_ref,
                            wbuf, sems, btT_ref):
     """Per-tile while_loop closest-hit with HBM-streamed cluster blocks.
 
     Ring-buffer protocol per tile: NBUF warm-up copies, then each
-    iteration waits slot k%NBUF, intersects, and immediately re-arms the
-    slot with candidate k+NBUF (index-clamped past the count — a harmless
-    re-fetch). Every started copy is waited: after the loop (early-out or
-    exhaustion) the NBUF in-flight copies are drained so no semaphore
-    leaks into the next tile."""
+    iteration waits/intersects/re-arms `batch` slots (the re-arm fetches
+    candidate k+NBUF into the slot just freed; index-clamped past the
+    count — a harmless re-fetch) and folds the batch with ONE deferred
+    reduction (_batch_best). Every started copy is waited: after the loop
+    (early-out or exhaustion) the NBUF in-flight copies are drained so no
+    semaphore leaks into the next tile."""
     i = pl.program_id(0)
     tr = o4_ref.shape[1]
     bt_ref[:] = jnp.full(bt_ref.shape, T_FAR, jnp.float32)
@@ -85,17 +86,22 @@ def _closest_stream_kernel(k_cap, c, t_min, g_sz, n_cl, words, counts,
 
             def body(carry, *, g=g, o4=o4, d4=d4, n=n, base=base):
                 k, bound_bits = carry
-                copy(k).wait()
-                cl = _word_cl(words, base, k, k_cap, n_cl)
-                wp = wbuf[jax.lax.rem(k, NBUF)]
-                w = jnp.where((cl & 1) == 1, wp[4:8], wp[0:4])
-                tv = _cluster_t(o4, d4, w, c, t_min, T_FAR)
-                copy(k + NBUF).start()  # re-arm the slot just freed
+                tvs, bids = [], []
+                for j in range(batch):
+                    copy(k + j).wait()
+                    cl = _word_cl(words, base, k + j, k_cap, n_cl)
+                    wp = wbuf[jax.lax.rem(k + j, NBUF)]
+                    w = jnp.where((cl & 1) == 1, wp[4:8], wp[0:4])
+                    tv = _cluster_t(o4, d4, w, c, t_min, T_FAR)
+                    copy(k + j + NBUF).start()  # re-arm the freed slot
+                    live = k + j < n
+                    tvs.append(jnp.where(live, tv, T_FAR))
+                    bids.append(slots + cl * c)
                 bt_ref[g], bid_ref[g] = _batch_best(
-                    [tv], [slots + cl * c], bt_ref[g], bid_ref[g])
+                    tvs, bids, bt_ref[g], bid_ref[g])
                 btT_ref[g:g + 1] = bt_ref[g].reshape(1, tr)
                 bt_bits = jax.lax.bitcast_convert_type(btT_ref[g], jnp.int32)
-                return k + 1, jnp.max(bt_bits)
+                return k + batch, jnp.max(bt_bits)
 
             k_end, _ = jax.lax.while_loop(
                 cond, body, (jnp.int32(0), jnp.int32(_T_FAR_BITS)))
@@ -107,8 +113,8 @@ def _closest_stream_kernel(k_cap, c, t_min, g_sz, n_cl, words, counts,
             jax.lax.fori_loop(0, NBUF, drain, k_end)
 
 
-def _anyhit_stream_kernel(k_cap, c, t_min, g_sz, n_cl, words, counts,
-                          o4_ref, d4_ref, tmax_ref, w_hbm, occ_ref,
+def _anyhit_stream_kernel(k_cap, c, t_min, g_sz, batch, n_cl, words,
+                          counts, o4_ref, d4_ref, tmax_ref, w_hbm, occ_ref,
                           wbuf, sems, occC_ref):
     """Lockstep-group occlusion with HBM-streamed cluster blocks: the G
     tiles of a grid step walk candidate slot k together (one early-out
@@ -147,18 +153,23 @@ def _anyhit_stream_kernel(k_cap, c, t_min, g_sz, n_cl, words, counts,
         def body(carry):
             k, _ = carry
             for g in range(g_sz):
-                copy(g, k).wait()
-                cl = _word_cl(words, (base0 + g) * k_cap, k, k_cap, n_cl)
-                wp = wbuf[g, jax.lax.rem(k, NBUF)]
-                w = jnp.where((cl & 1) == 1, wp[4:8], wp[0:4])
-                tv = _cluster_t(o4_ref[g], d4_ref[g], w, c, t_min,
-                                tmax_ref[g])
-                copy(g, k + NBUF).start()
-                live = k < counts[base0 + g]
-                hit_any = (jnp.min(tv, axis=-1, keepdims=True) < T_FAR) & live
+                m = None
+                for j in range(batch):
+                    copy(g, k + j).wait()
+                    cl = _word_cl(words, (base0 + g) * k_cap, k + j,
+                                  k_cap, n_cl)
+                    wp = wbuf[g, jax.lax.rem(k + j, NBUF)]
+                    w = jnp.where((cl & 1) == 1, wp[4:8], wp[0:4])
+                    tv = _cluster_t(o4_ref[g], d4_ref[g], w, c, t_min,
+                                    tmax_ref[g])
+                    copy(g, k + j + NBUF).start()
+                    live = k + j < counts[base0 + g]
+                    tv = jnp.where(live, tv, T_FAR)
+                    m = tv if m is None else jnp.minimum(m, tv)
+                hit_any = jnp.min(m, axis=-1, keepdims=True) < T_FAR
                 occC_ref[g] = jnp.maximum(occC_ref[g],
                                           hit_any.astype(jnp.float32))
-            return k + 1, bound_bits()
+            return k + batch, bound_bits()
 
         k_end, _ = jax.lax.while_loop(cond, body,
                                       (jnp.int32(0), bound_bits()))
@@ -173,9 +184,13 @@ def _anyhit_stream_kernel(k_cap, c, t_min, g_sz, n_cl, words, counts,
         occ_ref[g] = occC_ref[g].reshape(1, tr)
 
 
+STREAM_BATCH = 2
+
+
 def trace_tiles_streamed(o_t, d_t, accel: ClusterAccel, words, counts,
                          t_min=T_MIN, interpret: bool = False,
-                         group: int = DEFAULT_GROUP):
+                         group: int = DEFAULT_GROUP,
+                         batch: int = STREAM_BATCH):
     """Closest-hit over HBM-resident geometry: (bt, gid) each (Nt, TR)."""
     o4, d4 = _homog(o_t, d_t)
     w_all = _pad_w(accel.tri_w)
@@ -205,7 +220,7 @@ def trace_tiles_streamed(o_t, d_t, accel: ClusterAccel, words, counts,
         )
         return pl.pallas_call(
             functools.partial(_closest_stream_kernel, k_cap, c, t_min,
-                              group, accel.num_clusters),
+                              group, batch, accel.num_clusters),
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((o4c.shape[0], tr, 1), jnp.float32),
@@ -232,7 +247,8 @@ def trace_tiles_streamed(o_t, d_t, accel: ClusterAccel, words, counts,
 
 def any_hit_tiles_streamed(o_t, d_t, t_max_t, accel: ClusterAccel, words,
                            counts, t_min=T_MIN, interpret: bool = False,
-                           group: int = DEFAULT_GROUP):
+                           group: int = DEFAULT_GROUP,
+                           batch: int = STREAM_BATCH):
     """Occlusion over HBM-resident geometry: (Nt, TR) bool."""
     from tracer.kernels.traversal2 import _anyhit_prep
 
@@ -262,7 +278,7 @@ def any_hit_tiles_streamed(o_t, d_t, t_max_t, accel: ClusterAccel, words,
         )
         (occ,) = pl.pallas_call(
             functools.partial(_anyhit_stream_kernel, k_cap, c, t_min,
-                              group, accel.num_clusters),
+                              group, batch, accel.num_clusters),
             grid_spec=grid_spec,
             out_shape=[jax.ShapeDtypeStruct((o4c.shape[0], 1, tr),
                                             jnp.float32)],
@@ -288,11 +304,16 @@ def any_hit_tiles_streamed(o_t, d_t, t_max_t, accel: ClusterAccel, words,
 
 def make_streamed_tracers(scene, accel: ClusterAccel, k_cap: int = 256,
                           tr: int = 64, s_cap: int = 64,
-                          interpret: bool = False, t_min=T_MIN):
+                          interpret: bool = False, t_min=T_MIN,
+                          k_occ: int | None = None):
     """(trace_fn, occlude_fn) over the streamed kernel path — the
-    production tier for scenes past the VMEM-resident cluster budget."""
+    production tier for scenes past the VMEM-resident cluster budget.
+    `k_occ` sets the occlusion pass's own candidate cap (light-origin
+    frusta are typically fatter than the camera's; defaults to k_cap)."""
     k = min(k_cap, accel.num_clusters)
     k = max(8, -(-k // 8) * 8)
+    ko = min(k_occ if k_occ is not None else k_cap, accel.num_clusters)
+    ko = max(8, -(-ko // 8) * 8)
 
     def trace_fn(ray: Ray) -> Hit:
         o_t, d_t, tiling = tile_rays(ray.o, ray.d, tr)
@@ -312,7 +333,7 @@ def make_streamed_tracers(scene, accel: ClusterAccel, k_cap: int = 256,
             t_max_t, _, _ = tile_rays(tm3, tm3, tr)
             t_max_t = t_max_t[..., 0]
         words, counts, _overflow, _need = cull_clusters_sorted2(
-            accel, o_t, d_t, t_max_t, k, s_cap)
+            accel, o_t, d_t, t_max_t, ko, s_cap)
         occ = any_hit_tiles_streamed(o_t, d_t, t_max_t, accel, words,
                                      counts, t_min=t_min,
                                      interpret=interpret)
