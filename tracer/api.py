@@ -388,11 +388,18 @@ def make_grad_step_fn(cfg: RenderConfig, optimizer, scene: Scene = None,
 
         return step_tiled
 
+    # Non-tiled fallback: the jnp tiers only. The v1/v2/streamed Pallas
+    # tracers cannot be differentiated through (pallas_call has no JVP/VJP
+    # rule and render_wavefront does not stop-gradient its tracers the way
+    # render_tiled does), so a use_pallas config on TPU must drop to the
+    # jnp cluster tier here — same algorithm, XLA-compiled, differentiable.
+    cfg_nd = cfg.replace(use_pallas=False) if cfg.use_pallas else cfg
+
     @jax.jit
     def step(scene: Scene, camera: Camera, target: jax.Array, params, opt_state):
         def loss_fn(p):
             s, cam = _apply_grad_params(scene, camera, p)
-            trace_fn, occlude_fn = build_tracers(s, cfg)
+            trace_fn, occlude_fn = build_tracers(s, cfg_nd)
             rays = generate_rays(cam, cfg.height, cfg.width)
             img = render_wavefront(s, rays, wcfg, trace_fn, occlude_fn)
             return jnp.mean((img - target) ** 2)

@@ -117,7 +117,11 @@ def make_loss_fn(scene: Scene, camera: Camera, target: jax.Array,
         else:
             from tracer.api import build_tracers
 
-            trace_fn, occlude_fn = build_tracers(s, cfg)
+            # jnp tier only: Pallas tracers are not differentiable through
+            # render_wavefront (no pallas VJP; see api.make_grad_step_fn).
+            cfg_nd = (cfg.replace(use_pallas=False) if cfg.use_pallas
+                      else cfg)
+            trace_fn, occlude_fn = build_tracers(s, cfg_nd)
             img = render_wavefront(s, rays, wcfg, trace_fn, occlude_fn)
         return jnp.mean((img - target) ** 2)
 
