@@ -79,3 +79,53 @@ def test_loaded_scene_renders(tmp_path):
                                   WhittedConfig(max_bounces=1)))
     assert np.isfinite(img).all()
     assert img.max() > 0.0  # the emissive triangle alone guarantees signal
+
+
+def test_native_loader_matches_python(tmp_path):
+    """The C++ parser tier (cpp/objloader.cpp, built on demand) produces a
+    Scene identical to the Python definition of record — including fan
+    triangulation, negative indices, and usemtl index assignment. Skipped
+    only if g++ is unavailable."""
+    import pytest
+
+    from tracer.scene.cpp_loader import available
+
+    if not available():
+        pytest.skip("native objloader did not build")
+    path = _write(tmp_path)
+    s_py = load_obj(path, native=False)
+    s_cpp = load_obj(path, native=True)
+    np.testing.assert_array_equal(np.asarray(s_cpp.verts),
+                                  np.asarray(s_py.verts))
+    np.testing.assert_array_equal(np.asarray(s_cpp.tris),
+                                  np.asarray(s_py.tris))
+    np.testing.assert_array_equal(np.asarray(s_cpp.mat_id),
+                                  np.asarray(s_py.mat_id))
+    np.testing.assert_array_equal(np.asarray(s_cpp.materials.albedo),
+                                  np.asarray(s_py.materials.albedo))
+    np.testing.assert_array_equal(np.asarray(s_cpp.materials.emission),
+                                  np.asarray(s_py.materials.emission))
+    np.testing.assert_array_equal(np.asarray(s_cpp.materials.mirror),
+                                  np.asarray(s_py.materials.mirror))
+
+
+def test_native_loader_large_roundtrip(tmp_path):
+    """Exported geometry (save_obj) reloads identically through the native
+    parser at a non-trivial size."""
+    import pytest
+
+    from tracer.scene.cpp_loader import available
+
+    if not available():
+        pytest.skip("native objloader did not build")
+    rng = np.random.default_rng(0)
+    verts = rng.normal(size=(5000, 3)).astype(np.float32)
+    tris = rng.integers(0, 5000, size=(9000, 3)).astype(np.int32)
+    path = str(tmp_path / "big.obj")
+    save_obj(path, verts, tris)
+    s_cpp = load_obj(path, native=True)
+    s_py = load_obj(path, native=False)
+    np.testing.assert_array_equal(np.asarray(s_cpp.tris),
+                                  np.asarray(s_py.tris))
+    np.testing.assert_allclose(np.asarray(s_cpp.verts),
+                               np.asarray(s_py.verts), rtol=1e-6)

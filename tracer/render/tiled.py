@@ -79,6 +79,9 @@ def _trace_rows(accel: ClusterAccel, o_t, d_t, k_cap, s_cap, split,
     # full-vreg rows than on the packed 32-col table (measured 8.7 -> 6.9
     # ms at 1080p), worth the transient 4x padded copy (XLA CSEs it across
     # bounces). Downstream consumers slice cols < SHADE_COLS only.
+    # (r5: 64- and 32-col padded gathers measured 83-85 ms full-frame vs
+    # 83-84 at 128 — within run noise; 128 kept for the r4-measured
+    # standalone win.)
     shade_pad = jnp.pad(accel.shade,
                         ((0, 0), (0, 128 - accel.shade.shape[1])))
     rows = shade_pad[jnp.maximum(gid, 0)]  # (Nt, TR, 128)

@@ -33,12 +33,10 @@ def _parse_mtl(path: str) -> dict[str, dict]:
     return mats
 
 
-def load_obj(path: str, default_light: bool = True) -> Scene:
-    """Parse an OBJ file into a Scene.
-
-    Vertex normals from the file are used when present and fully specified;
-    otherwise area-weighted normals are computed.
-    """
+def _parse_obj_python(path: str):
+    """Pure-Python OBJ parse — the definition of record and the fallback
+    for the native tier. Returns (verts, tris, mat_of_tri, mat_names,
+    mtl_lib)."""
     verts: list = []
     tris: list = []
     mat_of_tri: list = []
@@ -73,9 +71,40 @@ def load_obj(path: str, default_light: bool = True) -> Scene:
                 for k in range(1, len(idx) - 1):  # fan triangulation
                     tris.append([idx[0], idx[k], idx[k + 1]])
                     mat_of_tri.append(cur_mat)
+    return (np.asarray(verts, np.float32).reshape(-1, 3),
+            np.asarray(tris, np.int32).reshape(-1, 3),
+            np.asarray(mat_of_tri, np.int32), mat_names, mtl_lib)
 
-    verts_np = np.asarray(verts, np.float32)
-    tris_np = np.asarray(tris, np.int32)
+
+def load_obj(path: str, default_light: bool = True,
+             native: bool | str = "auto") -> Scene:
+    """Parse an OBJ file into a Scene.
+
+    Vertex normals from the file are used when present and fully specified;
+    otherwise area-weighted normals are computed.
+
+    native: "auto" uses the C++ parser (cpp/objloader.cpp via ctypes —
+    the reference's scene loader is C++, SURVEY.md R7) when it builds,
+    falling back to the Python parser; True requires it; False skips it.
+    Both produce identical Scenes (tests/unit/test_scene_io.py).
+    """
+    parsed = None
+    if native in ("auto", True):
+        try:
+            from tracer.scene.cpp_loader import parse_obj_native
+
+            verts_np, tris_np, mat_np, names, libs = parse_obj_native(path)
+            mtl_lib: dict[str, dict] = {}
+            for lb in libs:
+                mtl_lib.update(
+                    _parse_mtl(os.path.join(os.path.dirname(path), lb)))
+            parsed = (verts_np, tris_np, mat_np, names, mtl_lib)
+        except Exception:
+            if native is True:
+                raise
+    if parsed is None:
+        parsed = _parse_obj_python(path)
+    verts_np, tris_np, mat_of_tri, mat_names, mtl_lib = parsed
     albedo, emission, mirror = [], [], []
     for name in mat_names:
         m = mtl_lib.get(name, {"Kd": (0.7, 0.7, 0.7), "Ke": (0, 0, 0), "Ks": (0, 0, 0)})
