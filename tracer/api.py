@@ -179,7 +179,14 @@ def make_render_fn(scene: Scene, cfg: RenderConfig):
                 # Ultra tiers: when a few grazing tiles force the full word
                 # width far past ULTRA_K, give only the measured heavy-tile
                 # prefix that width and run the rest at ULTRA_K (monotone:
-                # once on, the split only widens). See trace_tiles_split.
+                # once on, the split only widens). ONLY for caps well past
+                # ULTRA_K: a width-only split saves no dense work, so for
+                # moderate caps (bench100k's shadow k=296, p99=29) the
+                # extra region's launch+reassembly overhead LOSES — an
+                # ULTRA_K2=32 mid tier measured 38.4 -> 48-52 ms on the
+                # any-hit pass at every width tried (PERF_NOTES). The tier
+                # pays only when it collapses hundreds of launches
+                # (sponza: 1930-wide words, 490 -> ~65 launches).
                 def want_ultra(cap, cur, need_key):
                     if cap <= 2 * ULTRA_K:
                         return cur

@@ -511,7 +511,11 @@ FAST_GROUP = 8
 
 # Word width of the mid (non-ultra) generic region when the ultra tier is
 # active, and the count threshold `need_ultra` is always measured against.
+# ULTRA_K2 is the SMALL mid width for scenes whose cap is dominated by a
+# thin tail of heavy tiles (e.g. bench100k's shadow pass: k sized to 296
+# by ~1% of tiles while p99 = 29) — need_ultra2 counts tiles above it.
 ULTRA_K = 256
+ULTRA_K2 = 32
 
 
 def trace_tiles_split(o_t, d_t, accel: ClusterAccel, words, counts,
@@ -571,6 +575,7 @@ def trace_tiles_split(o_t, d_t, accel: ClusterAccel, words, counts,
     need_split = jnp.sum(counts > fast_batch)
     need_zero = jnp.sum(counts > 0)
     need_ultra = jnp.sum(counts > ULTRA_K)
+    need_ultra2 = jnp.sum(counts > ULTRA_K2)
     # Each out-of-tier tile counted once: mid-region tiles needing more
     # than k_mid words, fast-tier tiles too heavy for the straight-line
     # kernel, plus zero-tier tiles that aren't empty.
@@ -610,7 +615,7 @@ def trace_tiles_split(o_t, d_t, accel: ClusterAccel, words, counts,
         parts_bid.append(jnp.full((n_tiles - Z, tr), -1, jnp.int32))
     bt = jnp.concatenate(parts_bt)[inv]
     bid = jnp.concatenate(parts_bid)[inv]
-    return bt, bid, excess, (need_split, need_zero, need_ultra)
+    return bt, bid, excess, (need_split, need_zero, need_ultra, need_ultra2)
 
 
 def any_hit_tiles_sorted(o_t, d_t, t_max_t, accel: ClusterAccel, words, counts,
@@ -664,6 +669,7 @@ def any_hit_tiles_graded(o_t, d_t, t_max_t, accel: ClusterAccel, words,
     need_b1 = jnp.sum(counts > 1)
     need_zero = jnp.sum(counts > 0)
     need_ultra = jnp.sum(counts > ULTRA_K)
+    need_ultra2 = jnp.sum(counts > ULTRA_K2)
     excess = jnp.sum(counts_s[Z:] > 0).astype(jnp.int32)
     if k_mid is not None:
         excess = excess + jnp.sum(counts_s[U:Z] > k_mid).astype(jnp.int32)
@@ -693,7 +699,7 @@ def any_hit_tiles_graded(o_t, d_t, t_max_t, accel: ClusterAccel, words,
     if n_tiles > Z:
         parts.append(jnp.zeros((n_tiles - Z, tr), bool))
     occ = jnp.concatenate(parts)[inv]
-    return occ, excess, (need_b1, need_zero, need_ultra)
+    return occ, excess, (need_b1, need_zero, need_ultra, need_ultra2)
 
 
 def _anyhit_prep(o_t, d_t, t_max_t, accel, words, counts):
