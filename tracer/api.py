@@ -7,6 +7,7 @@ rendering at benchmark rates rather than an interactive window.
 """
 from __future__ import annotations
 
+import os
 import time
 from functools import partial
 
@@ -98,6 +99,66 @@ def _whitted_cfg(cfg: RenderConfig) -> WhittedConfig:
 # the cap-sizing / ensure-exact / tiled-grad machinery is exercisable on the
 # CPU test mesh (tests monkeypatch this; production leaves it False).
 _FORCE_TILED_INTERPRET = False
+
+
+def _caps_cache_path() -> str:
+    return os.environ.get(
+        "TRACER_CAPS_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "tracer_caps.json"))
+
+
+def _scene_cap_key(scene: Scene, camera: Camera, cfg: RenderConfig) -> str:
+    """Cheap content hash for the sized-caps cache: shapes + sampled vertex
+    bytes + camera + the cfg fields that shape the pipeline. A collision or
+    a stale entry is SAFE — cached caps only seed the sizing loop, which
+    still renders, checks overflow == 0, and widens if the scene outgrew
+    them (caps are monotone; excess is always surfaced)."""
+    import hashlib
+
+    v = np.asarray(scene.verts)
+    t = np.asarray(scene.tris)
+    h = hashlib.sha1()
+    h.update(str((v.shape, t.shape, cfg.height, cfg.width, cfg.max_bounces,
+                  cfg.smooth_shading,
+                  tuple(np.asarray(camera.position).tolist()))).encode())
+    h.update(v[:: max(1, len(v) // 64)].tobytes())
+    h.update(t[:: max(1, len(t) // 64)].tobytes())
+    return h.hexdigest()
+
+
+def _caps_cache_load(key: str):
+    import json
+
+    try:
+        with open(_caps_cache_path()) as f:
+            raw = json.load(f).get(key)
+        if raw is None:
+            return None
+        to_t = lambda x: None if x is None else tuple(x)
+        return (raw[0], raw[1], raw[2], to_t(raw[3]), to_t(raw[4]),
+                to_t(raw[5]), to_t(raw[6]), to_t(raw[7]))
+    except Exception:
+        return None
+
+
+def _caps_cache_store(key: str, caps) -> None:
+    import json
+
+    path = _caps_cache_path()
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except Exception:
+            data = {}
+        data[key] = [list(c) if isinstance(c, tuple) else c for c in caps]
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(data, f)
+        os.replace(tmp, path)
+    except Exception:
+        pass  # cache is an optimization only
 
 
 def _tiled_interpret() -> bool:
@@ -255,11 +316,21 @@ def make_render_fn(scene: Scene, cfg: RenderConfig):
                 state["accel"] = build(scene)
                 state["scene"] = scene
                 # Reset to the defaults so a small scene after a large one
-                # doesn't inherit oversized caps (compile/VMEM pressure).
-                state["caps"] = (K_CLOSEST, DEFAULT_K, S_CAP, None, None,
-                                 None, None, None)
+                # doesn't inherit oversized caps (compile/VMEM pressure) —
+                # then seed from the persisted per-scene cache: a warm
+                # entry makes the sizing pass converge on its first
+                # iteration (and the one compile hits the XLA cache),
+                # cutting cold CLI start from ~4-6 full-pipeline compiles
+                # to one. Stale entries are safe: the loop still verifies
+                # overflow == 0 and widens if the scene outgrew them.
+                key = _scene_cap_key(scene, camera, cfg)
+                cached = _caps_cache_load(key)
+                state["caps"] = cached if cached is not None else (
+                    K_CLOSEST, DEFAULT_K, S_CAP, None, None, None, None,
+                    None)
                 state["run"] = None
                 _size_caps(scene, state["accel"], camera)
+                _caps_cache_store(key, state["caps"])
             img, aux = state["run"](scene, state["accel"], camera)
             if ensure_exact and int(aux["overflow"]) != 0:
                 # Camera moved past the sized caps (e.g. mid-animation):
