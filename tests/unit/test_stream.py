@@ -47,3 +47,45 @@ def test_streamed_anyhit_matches_brute(bunny):
     got = occlude(rays, t_max)
     want = any_hit_brute(rays, scene.verts, scene.tris, t_max=t_max)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_streamed_render_fn_sizes_and_is_exact(monkeypatch, tmp_path):
+    """make_render_fn's streamed tier (>VMEM scenes on TPU; forced
+    interpret here): the sizing loop escalates (k_trace, k_occ, s) until
+    overflow == 0, the image matches the jnp accel tier, and the sized
+    caps persist to the cache for a fresh session."""
+    import os
+
+    import jax
+    import tracer.api as api
+    from tracer.core.camera import generate_rays
+    from tracer.render.whitted import WhittedConfig, render_wavefront
+    from tracer.utils.config import load_config
+
+    monkeypatch.setattr(api, "_FORCE_STREAMED_INTERPRET", True)
+    monkeypatch.setattr(api, "_VMEM_RESIDENT_CLUSTERS", 2)  # force tier
+    monkeypatch.setenv("TRACER_CAPS_CACHE", str(tmp_path / "caps.json"))
+    cfg = load_config("bunny-grad", height=32, width=32, scene_arg=3,
+                      use_pallas=True)
+    scene, camera = api.get_scene(cfg)
+    assert -(-scene.num_tris // 128) > 2
+    run = api.make_render_fn(scene, cfg)
+    img, aux = run(scene, camera, with_aux=True)
+    assert int(aux["overflow"]) == 0
+    kc, ko, sc = run.state["caps"]
+    assert kc >= 8 and ko >= 8 and sc >= 2
+
+    wcfg = WhittedConfig(max_bounces=cfg.max_bounces,
+                         smooth_shading=cfg.smooth_shading)
+    ref = render_wavefront(
+        scene, generate_rays(camera, 32, 32), wcfg,
+        *api.build_tracers(scene, load_config(
+            "bunny-grad", height=32, width=32, scene_arg=3)))
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+    # Second session seeds from the cache: identical caps, still exact.
+    run2 = api.make_render_fn(scene, cfg)
+    img2, aux2 = run2(scene, camera, with_aux=True)
+    assert int(aux2["overflow"]) == 0
+    assert run2.state["caps"] == run.state["caps"]

@@ -99,6 +99,8 @@ def _whitted_cfg(cfg: RenderConfig) -> WhittedConfig:
 # the cap-sizing / ensure-exact / tiled-grad machinery is exercisable on the
 # CPU test mesh (tests monkeypatch this; production leaves it False).
 _FORCE_TILED_INTERPRET = False
+# Same hook for the streamed (>VMEM scenes) tier.
+_FORCE_STREAMED_INTERPRET = False
 
 
 def _caps_cache_path() -> str:
@@ -134,6 +136,8 @@ def _caps_cache_load(key: str):
             raw = json.load(f).get(key)
         if raw is None:
             return None
+        if len(raw) == 3:  # streamed tier: (kc, ko, sc)
+            return tuple(raw)
         to_t = lambda x: None if x is None else tuple(x)
         return (raw[0], raw[1], raw[2], to_t(raw[3]), to_t(raw[4]),
                 to_t(raw[5]), to_t(raw[6]), to_t(raw[7]))
@@ -344,6 +348,12 @@ def make_render_fn(scene: Scene, cfg: RenderConfig):
         run.state = state  # sized caps readable by make_grad_step_fn
         return run
 
+    if (cfg.use_bvh and cfg.use_pallas
+            and (jax.default_backend() == "tpu"
+                 or _FORCE_STREAMED_INTERPRET)
+            and -(-scene.num_tris // 128) > _VMEM_RESIDENT_CLUSTERS):
+        return _make_streamed_render_fn(scene, cfg, wcfg)
+
     trace_fn_builder = partial(build_tracers, cfg=cfg)
 
     @jax.jit
@@ -359,6 +369,104 @@ def make_render_fn(scene: Scene, cfg: RenderConfig):
         img = run_jit(scene, camera)
         return (img, {"overflow": jnp.int32(0)}) if with_aux else img
 
+    return run
+
+
+def _make_streamed_render_fn(scene: Scene, cfg: RenderConfig, wcfg):
+    """Render fn for >VMEM scenes on TPU: the HBM-streamed kernel tier
+    (kernels.stream) through the aux wavefront integrator, with the same
+    measure-escalate cap sizing, exactness guarantee (overflow surfaced
+    and driven to zero for the sizing camera), persisted-caps seeding,
+    and ensure_exact re-sizing contract as the tiled path."""
+    from tracer.bvh import build_scene_accel
+    from tracer.kernels.stream import make_streamed_tracers_aux
+    from tracer.render.whitted import render_wavefront_aux
+
+    build = jax.jit(build_scene_accel)
+    DEFAULT_CAPS = (64, 64, 16)  # (k_trace, k_occ, s_cap)
+    state = {"scene": None, "accel": None, "caps": DEFAULT_CAPS,
+             "run": None}
+
+    def build_run(caps):
+        kc, ko, sc = caps
+
+        interp = (_FORCE_STREAMED_INTERPRET
+                  and jax.default_backend() != "tpu")
+
+        @jax.jit
+        def run_streamed(scene: Scene, accel, camera: Camera):
+            trace_fn, occlude_fn = make_streamed_tracers_aux(
+                scene, accel, k_cap=kc, s_cap=sc, k_occ=ko,
+                interpret=interp)
+            rays = generate_rays(camera, cfg.height, cfg.width)
+            return render_wavefront_aux(scene, rays, wcfg, trace_fn,
+                                        occlude_fn)
+
+        return run_streamed
+
+    # Memory-bounded cap ceilings: the cull's stage-2 intermediates scale
+    # with Ntiles * s_cap * 16, so an unbounded s escalation can demand
+    # tens of GB at COMPILE time (a 2-bounce 1080p frame on the 3.9M-tri
+    # hall measured need_s ~ 1921: divergent bounce-ray tiles have fat
+    # interval-hull frusta that touch nearly every supercluster). Past
+    # these ceilings the sizing stops and the residual overflow stays
+    # surfaced in aux (bench fails loudly) — the production answer for
+    # such configs is ring-sharded geometry across chips (dist/ring.py),
+    # not a single-chip frame. 1-bounce frames at pod-1m scale size to
+    # exactness well inside the ceilings (PERF_NOTES streamed table).
+    S_STREAM_MAX = 256
+    K_STREAM_MAX = 2048
+
+    def _size_caps(scene, accel, camera):
+        import sys
+
+        n_cl = accel.num_clusters
+        n_sc = accel.super_lo.shape[0]
+        r8 = lambda v: max(8, -(-int(v) // 8) * 8)
+        for it in range(8):
+            if state["run"] is None:
+                state["run"] = build_run(state["caps"])
+            img, aux = state["run"](scene, accel, camera)
+            if int(aux["overflow"]) == 0:
+                return
+            kc, ko, sc = state["caps"]
+            new = (min(max(r8(int(aux["need_trace_k"]) + 8), kc),
+                       n_cl, K_STREAM_MAX),
+                   min(max(r8(int(aux["need_occ_k"]) + 8), ko),
+                       n_cl, K_STREAM_MAX),
+                   min(max(int(aux["need_s"]) + 2, sc), n_sc, S_STREAM_MAX))
+            if new == state["caps"]:
+                print(f"[tracer] streamed sizing at memory ceiling with "
+                      f"overflow {int(aux['overflow'])} (caps {new}): this "
+                      f"config needs the ring-sharded tier for exactness",
+                      file=sys.stderr)
+                return
+            print(f"[tracer] streamed sizing (overflow "
+                  f"{int(aux['overflow'])}): caps {state['caps']} -> {new}",
+                  file=sys.stderr)
+            state["caps"] = new
+            state["run"] = build_run(state["caps"])
+        print("[tracer] streamed sizing stopped at iteration limit; "
+              "overflow stays surfaced in aux", file=sys.stderr)
+
+    def run(scene: Scene, camera: Camera, with_aux: bool = False,
+            ensure_exact: bool = False):
+        if state["scene"] is not scene:
+            state["accel"] = build(scene)
+            state["scene"] = scene
+            key = "st-" + _scene_cap_key(scene, camera, cfg)
+            cached = _caps_cache_load(key)
+            state["caps"] = cached if cached is not None else DEFAULT_CAPS
+            state["run"] = None
+            _size_caps(scene, state["accel"], camera)
+            _caps_cache_store(key, state["caps"])
+        img, aux = state["run"](scene, state["accel"], camera)
+        if ensure_exact and int(aux["overflow"]) != 0:
+            _size_caps(scene, state["accel"], camera)
+            img, aux = state["run"](scene, state["accel"], camera)
+        return (img, aux) if with_aux else img
+
+    run.state = state
     return run
 
 
@@ -554,12 +662,11 @@ def benchmark(config: str | RenderConfig | None = None, iters: int = 10,
             img = run(scene, camera)
         float(checksum(img))
         dt = (time.perf_counter() - t0) / iters
-    overflow = None
-    live_rays = None
-    if _use_tiled_path(scene, cfg):
-        _, aux = run(scene, camera, with_aux=True)
-        overflow = int(aux["overflow"])
-        live_rays = int(aux["live_rays"])
+    # Every render-fn variant supports with_aux (tiled and streamed report
+    # real cull overflow; the exact-by-construction tiers report 0).
+    _, aux = run(scene, camera, with_aux=True)
+    overflow = int(aux["overflow"]) if "overflow" in aux else None
+    live_rays = int(aux["live_rays"]) if "live_rays" in aux else None
     primary_rays = cfg.height * cfg.width
     # Count every traced wavefront: per bounce one closest-hit pass plus one
     # shadow pass per light (the standard rays/s accounting for Whitted).

@@ -302,6 +302,49 @@ def any_hit_tiles_streamed(o_t, d_t, t_max_t, accel: ClusterAccel, words,
     return (occ[:, :, 0, :].reshape(n_pad, tr)[:n_tiles][inv]) != 0
 
 
+def make_streamed_tracers_aux(scene, accel: ClusterAccel, k_cap: int = 256,
+                              tr: int = 64, s_cap: int = 64,
+                              interpret: bool = False, t_min=T_MIN,
+                              k_occ: int | None = None):
+    """Like make_streamed_tracers, but each tracer also returns its cull's
+    aux {"excess", "need_k", "need_s"} so the caller (the streamed render
+    fn's sizing loop, via render_wavefront_aux) can escalate caps until
+    the frame is exact — the same surfaced-truncation contract as the
+    tiled path."""
+    k = min(k_cap, accel.num_clusters)
+    k = max(8, -(-k // 8) * 8)
+    ko = min(k_occ if k_occ is not None else k_cap, accel.num_clusters)
+    ko = max(8, -(-ko // 8) * 8)
+
+    def trace_fn(ray: Ray):
+        o_t, d_t, tiling = tile_rays(ray.o, ray.d, tr)
+        words, counts, excess, need = cull_clusters_sorted2(
+            accel, o_t, d_t, T_FAR, k, s_cap)
+        bt, gid = trace_tiles_streamed(o_t, d_t, accel, words, counts,
+                                       t_min=t_min, interpret=interpret)
+        hit = recover_hit(scene, ray, untile(bt, tiling),
+                          untile(gid, tiling), accel, t_min=t_min)
+        return hit, {"excess": excess, "need_k": need[0], "need_s": need[1]}
+
+    def occlude_fn(ray: Ray, t_max):
+        o_t, d_t, tiling = tile_rays(ray.o, ray.d, tr)
+        if jnp.ndim(t_max) == 0:
+            t_max_t = jnp.full(o_t.shape[:2], t_max, jnp.float32)
+        else:
+            tm3 = jnp.broadcast_to(t_max[..., None], t_max.shape + (3,))
+            t_max_t, _, _ = tile_rays(tm3, tm3, tr)
+            t_max_t = t_max_t[..., 0]
+        words, counts, excess, need = cull_clusters_sorted2(
+            accel, o_t, d_t, t_max_t, ko, s_cap)
+        occ = any_hit_tiles_streamed(o_t, d_t, t_max_t, accel, words,
+                                     counts, t_min=t_min,
+                                     interpret=interpret)
+        return untile(occ, tiling), {"excess": excess, "need_k": need[0],
+                                     "need_s": need[1]}
+
+    return trace_fn, occlude_fn
+
+
 def make_streamed_tracers(scene, accel: ClusterAccel, k_cap: int = 256,
                           tr: int = 64, s_cap: int = 64,
                           interpret: bool = False, t_min=T_MIN,

@@ -201,6 +201,51 @@ def render_wavefront(
     return radiance
 
 
+def render_wavefront_aux(
+    scene: Scene,
+    ray: Ray,
+    cfg: WhittedConfig,
+    trace_fn_aux,
+    occlude_fn_aux,
+):
+    """render_wavefront with EXCESS-SURFACING tracers, for tiers whose
+    culls can truncate under a candidate cap (the streamed big-scene
+    tier; the tiled path has its own aux plumbing in render/tiled.py).
+
+    trace_fn_aux(ray) -> (Hit, aux) and occlude_fn_aux(ray, t_max) ->
+    (occ, aux), where aux = {"excess": int32, "need_k": int32,
+    "need_s": int32} from the pass's cull. Returns (radiance, aux) with
+    excess summed and the needs max-combined SEPARATELY for the closest
+    ("need_trace_k") and occlusion ("need_occ_k") passes — the sizing
+    loop escalates them independently (light-origin frusta typically need
+    ~2-4x the camera k)."""
+    radiance = jnp.zeros(ray.batch_shape + (3,), jnp.float32)
+    throughput = jnp.ones(ray.batch_shape + (3,), jnp.float32)
+    live = jnp.ones(ray.batch_shape, bool)
+    tot = {"overflow": jnp.int32(0), "need_trace_k": jnp.int32(0),
+           "need_occ_k": jnp.int32(0), "need_s": jnp.int32(0)}
+
+    def trace_fn(r):
+        hit, aux = trace_fn_aux(r)
+        tot["overflow"] = tot["overflow"] + aux["excess"]
+        tot["need_trace_k"] = jnp.maximum(tot["need_trace_k"], aux["need_k"])
+        tot["need_s"] = jnp.maximum(tot["need_s"], aux["need_s"])
+        return hit
+
+    def occlude_fn(r, t_max):
+        occ, aux = occlude_fn_aux(r, t_max)
+        tot["overflow"] = tot["overflow"] + aux["excess"]
+        tot["need_occ_k"] = jnp.maximum(tot["need_occ_k"], aux["need_k"])
+        tot["need_s"] = jnp.maximum(tot["need_s"], aux["need_s"])
+        return occ
+
+    for bounce in range(cfg.max_bounces):
+        contrib, ray, throughput, live = bounce_step(
+            scene, ray, throughput, live, cfg, trace_fn, occlude_fn)
+        radiance = radiance + contrib
+    return radiance, tot
+
+
 def render_image(
     scene: Scene,
     camera,
