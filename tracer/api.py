@@ -327,22 +327,25 @@ def make_render_fn(scene: Scene, cfg: RenderConfig):
                 # cutting cold CLI start from ~4-6 full-pipeline compiles
                 # to one. Stale entries are safe: the loop still verifies
                 # overflow == 0 and widens if the scene outgrew them.
-                key = _scene_cap_key(scene, camera, cfg)
-                cached = _caps_cache_load(key)
+                state["key"] = _scene_cap_key(scene, camera, cfg)
+                cached = _caps_cache_load(state["key"])
                 state["caps"] = cached if cached is not None else (
                     K_CLOSEST, DEFAULT_K, S_CAP, None, None, None, None,
                     None)
                 state["run"] = None
                 _size_caps(scene, state["accel"], camera)
-                _caps_cache_store(key, state["caps"])
+                _caps_cache_store(state["key"], state["caps"])
             img, aux = state["run"](scene, state["accel"], camera)
             if ensure_exact and int(aux["overflow"]) != 0:
                 # Camera moved past the sized caps (e.g. mid-animation):
                 # re-size (monotone widening) for THIS camera and re-render.
                 # Guarantees every returned frame is exact — used by
-                # bin/trace --animate (VERDICT r4 missing #4).
+                # bin/trace --animate (VERDICT r4 missing #4). The widened
+                # caps persist under the scene-load key, so the next
+                # session's orbit pre-size finds them already wide.
                 _size_caps(scene, state["accel"], camera)
                 img, aux = state["run"](scene, state["accel"], camera)
+                _caps_cache_store(state["key"], state["caps"])
             return (img, aux) if with_aux else img
 
         run.state = state  # sized caps readable by make_grad_step_fn
@@ -454,16 +457,17 @@ def _make_streamed_render_fn(scene: Scene, cfg: RenderConfig, wcfg):
         if state["scene"] is not scene:
             state["accel"] = build(scene)
             state["scene"] = scene
-            key = "st-" + _scene_cap_key(scene, camera, cfg)
-            cached = _caps_cache_load(key)
+            state["key"] = "st-" + _scene_cap_key(scene, camera, cfg)
+            cached = _caps_cache_load(state["key"])
             state["caps"] = cached if cached is not None else DEFAULT_CAPS
             state["run"] = None
             _size_caps(scene, state["accel"], camera)
-            _caps_cache_store(key, state["caps"])
+            _caps_cache_store(state["key"], state["caps"])
         img, aux = state["run"](scene, state["accel"], camera)
         if ensure_exact and int(aux["overflow"]) != 0:
             _size_caps(scene, state["accel"], camera)
             img, aux = state["run"](scene, state["accel"], camera)
+            _caps_cache_store(state["key"], state["caps"])
         return (img, aux) if with_aux else img
 
     run.state = state
