@@ -124,13 +124,20 @@ extern "C" int64_t obj_parse(const char* path) {
         ++e;
       cur_mat = intern(std::string(q, e - q));
     } else if (!strncmp(p, "mtllib", 6)) {
-      const char* q = skip_ws(p + 6, end);
-      const char* e = q;
-      while (e < end && *e != '\n' && *e != '\r') ++e;
-      while (e > q && (e[-1] == ' ' || e[-1] == '\t')) --e;
-      if (e > q) {
+      // OBJ allows several library files per mtllib line: split on
+      // whitespace, one entry each (kept in parity with the Python
+      // parser, which iterates the same tokens).
+      const char* q = p + 6;
+      while (true) {
+        q = skip_ws(q, end);
+        if (q >= end || *q == '\n' || *q == '\r') break;
+        const char* e = q;
+        while (e < end && *e != '\n' && *e != '\r' && *e != ' '
+               && *e != '\t')
+          ++e;
         if (!d->libs.empty()) d->libs += '\n';
         d->libs.append(q, e - q);
+        q = e;
       }
     }
     p = next_line(p, end);

@@ -129,3 +129,37 @@ def test_native_loader_large_roundtrip(tmp_path):
                                   np.asarray(s_py.tris))
     np.testing.assert_allclose(np.asarray(s_cpp.verts),
                                np.asarray(s_py.verts), rtol=1e-6)
+
+
+def test_multi_mtllib_line(tmp_path):
+    """OBJ allows several library files on one mtllib line; both parsers
+    must load all of them (an r5 review catch: the native parser joined
+    the rest of the line into one nonexistent path)."""
+    import pytest
+
+    (tmp_path / "a.mtl").write_text("newmtl red\nKd 0.8 0.1 0.1\n")
+    (tmp_path / "b.mtl").write_text("newmtl glow\nKd 0.2 0.2 0.2\nKe 3 2 1\n")
+    (tmp_path / "m.obj").write_text(
+        "mtllib a.mtl b.mtl\n"
+        "v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\n"
+        "usemtl red\nf 1 2 3\nusemtl glow\nf 1 3 4\n")
+    path = str(tmp_path / "m.obj")
+    s_py = load_obj(path, native=False)
+    np.testing.assert_allclose(
+        np.asarray(s_py.materials.albedo)[np.asarray(s_py.mat_id)[0]],
+        [0.8, 0.1, 0.1])
+    np.testing.assert_allclose(
+        np.asarray(s_py.materials.emission)[np.asarray(s_py.mat_id)[1]],
+        [3.0, 2.0, 1.0])
+
+    from tracer.scene.cpp_loader import available
+
+    if not available():
+        pytest.skip("native objloader did not build")
+    s_cpp = load_obj(path, native=True)
+    np.testing.assert_array_equal(np.asarray(s_cpp.materials.albedo),
+                                  np.asarray(s_py.materials.albedo))
+    np.testing.assert_array_equal(np.asarray(s_cpp.materials.emission),
+                                  np.asarray(s_py.materials.emission))
+    np.testing.assert_array_equal(np.asarray(s_cpp.mat_id),
+                                  np.asarray(s_py.mat_id))

@@ -548,7 +548,13 @@ def make_grad_step_fn(cfg: RenderConfig, optimizer, scene: Scene = None,
 
         interpret = tiled == "interpret" or _tiled_interpret()
         if tiled == "interpret":
-            caps = None  # always-correct defaults (full generic tier)
+            # Always-correct caps: render_tiled/cull clamp k to the
+            # cluster count and s to the supercluster count, so huge
+            # requests mean NO truncation anywhere (the splits' None
+            # default is the all-generic tier). The r5 review caught the
+            # previous None-caps defaults silently truncating (S_CAP=16).
+            caps = (1 << 20, 1 << 20, 1 << 20, None, None, None, None,
+                    None)
         else:
             caps = sized_tiled_caps(scene, camera, cfg)
 
@@ -563,16 +569,31 @@ def make_grad_step_fn(cfg: RenderConfig, optimizer, scene: Scene = None,
                 # functions of the current params, so grads flow through
                 # the row recompute (render/tiled.py docstring).
                 accel = build_scene_accel(s)
-                kw = {} if caps is None else dict(
+                kw = dict(
                     k_closest=caps[0], k_cap=caps[1], s_cap=caps[2],
                     closest_split=caps[3], shadow_split=caps[4],
                     closest_ultra=caps[5], shadow_ultra=caps[6],
                     s_ultra=caps[7])
-                img = render_tiled(s, accel, cam, cfg.height, cfg.width,
-                                   wcfg, interpret=interpret, **kw)
-                return jnp.mean((img - target) ** 2)
+                img, aux = render_tiled(s, accel, cam, cfg.height,
+                                        cfg.width, wcfg,
+                                        interpret=interpret,
+                                        with_aux=True, **kw)
+                return jnp.mean((img - target) ** 2), aux["overflow"]
 
-            loss, grads = jax.value_and_grad(loss_fn)(params)
+            (loss, overflow), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            # Surfaced truncation (r5 review): parameters that outgrow the
+            # sized caps' slack must not silently corrupt gradients — warn
+            # loudly from inside the jit (the 3-output step signature is
+            # kept for callers).
+            jax.lax.cond(
+                overflow > 0,
+                lambda o: jax.debug.print(
+                    "[tracer] WARNING: grad step dropped {} cull "
+                    "candidates — params outgrew the sized caps; rebuild "
+                    "the step to re-size", o),
+                lambda o: None,
+                overflow)
             updates, new_opt_state = optimizer.update(grads, opt_state, params)
             return loss, optax.apply_updates(params, updates), new_opt_state
 

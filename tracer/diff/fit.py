@@ -86,13 +86,22 @@ def make_loss_fn(scene: Scene, camera: Camera, target: jax.Array,
             from tracer.render.tiled import render_tiled
 
             accel = build_scene_accel(s)
-            img = render_tiled(
+            img, aux = render_tiled(
                 s, accel, camera, cfg.height, cfg.width, wcfg,
                 k_closest=tiled_caps[0], k_cap=tiled_caps[1],
                 s_cap=tiled_caps[2], closest_split=tiled_caps[3],
                 shadow_split=tiled_caps[4], closest_ultra=tiled_caps[5],
                 shadow_ultra=tiled_caps[6], s_ultra=tiled_caps[7],
-                interpret=_tiled_interpret())
+                interpret=_tiled_interpret(), with_aux=True)
+            # Surfaced truncation (r5 review): warn if the optimization
+            # moved the scene past the sized caps' slack.
+            jax.lax.cond(
+                aux["overflow"] > 0,
+                lambda o: jax.debug.print(
+                    "[tracer] WARNING: fit step dropped {} cull "
+                    "candidates — params outgrew the sized caps", o),
+                lambda o: None,
+                aux["overflow"])
             return jnp.mean((img - target) ** 2)
         rays = generate_rays(camera, cfg.height, cfg.width)
         if fcfg.edge_aware and cfg.use_bvh:

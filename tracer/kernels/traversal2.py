@@ -119,11 +119,14 @@ def _cluster_t(o4, d4, w, c, t_min, t_max_col, *, approx: bool = False):
     # broadcast FMAs. See PERF_NOTES.md.
     so, sd = _products(o4, d4, w)
     den = sd[:, 0:c]
-    # RAW IEEE divide, no den == 0 guard and no |den| > eps test: when den
-    # is 0 the quotient is +-inf (or NaN for 0/0), u/v become inf/NaN, and
-    # every comparison below is then false — `ok` rejects the lane without
-    # spending the 4 vreg-ops/column the guards cost (~10% of the kernel;
-    # the kernel is ISSUE-bound, see PERF_NOTES.md roofline).
+    # RAW IEEE divide, no den == 0 pre-guard: when den is 0 the quotient
+    # is +-inf (or NaN for 0/0), u/v become inf/NaN, and every comparison
+    # below is then false — `ok` rejects the lane without the old
+    # where-select guard. The |den| > 1e-12 test STAYS: recover_hit's
+    # classic Moller-Trumbore rejects |det| <= eps hits, so a grazing
+    # candidate selected here but rejected there would mask a real
+    # farther hit behind it (an r5 review catch; the test costs ~2
+    # vreg-ops/column and its removal measured <= noise anyway).
     if approx:
         t = -so[:, 0:c] * pl.reciprocal(den, approx=True)
     else:
@@ -131,7 +134,7 @@ def _cluster_t(o4, d4, w, c, t_min, t_max_col, *, approx: bool = False):
     u = so[:, c:2 * c] + t * sd[:, c:2 * c]
     v = so[:, 2 * c:3 * c] + t * sd[:, 2 * c:3 * c]
     ok = ((jnp.minimum(jnp.minimum(u, v), 1.0 - u - v) >= 0.0)
-          & (t > t_min) & (t < t_max_col))
+          & (t > t_min) & (t < t_max_col) & (jnp.abs(den) > 1e-12))
     return jnp.where(ok, t, T_FAR)
 
 
@@ -511,11 +514,10 @@ FAST_GROUP = 8
 
 # Word width of the mid (non-ultra) generic region when the ultra tier is
 # active, and the count threshold `need_ultra` is always measured against.
-# ULTRA_K2 is the SMALL mid width for scenes whose cap is dominated by a
-# thin tail of heavy tiles (e.g. bench100k's shadow pass: k sized to 296
-# by ~1% of tiles while p99 = 29) — need_ultra2 counts tiles above it.
+# (A second, smaller mid width was measured strictly NEGATIVE — width-only
+# region splits save no dense work; see PERF_NOTES "width-only ultra
+# tiers".)
 ULTRA_K = 256
-ULTRA_K2 = 32
 
 
 def trace_tiles_split(o_t, d_t, accel: ClusterAccel, words, counts,
@@ -575,7 +577,6 @@ def trace_tiles_split(o_t, d_t, accel: ClusterAccel, words, counts,
     need_split = jnp.sum(counts > fast_batch)
     need_zero = jnp.sum(counts > 0)
     need_ultra = jnp.sum(counts > ULTRA_K)
-    need_ultra2 = jnp.sum(counts > ULTRA_K2)
     # Each out-of-tier tile counted once: mid-region tiles needing more
     # than k_mid words, fast-tier tiles too heavy for the straight-line
     # kernel, plus zero-tier tiles that aren't empty.
@@ -615,7 +616,7 @@ def trace_tiles_split(o_t, d_t, accel: ClusterAccel, words, counts,
         parts_bid.append(jnp.full((n_tiles - Z, tr), -1, jnp.int32))
     bt = jnp.concatenate(parts_bt)[inv]
     bid = jnp.concatenate(parts_bid)[inv]
-    return bt, bid, excess, (need_split, need_zero, need_ultra, need_ultra2)
+    return bt, bid, excess, (need_split, need_zero, need_ultra)
 
 
 def any_hit_tiles_sorted(o_t, d_t, t_max_t, accel: ClusterAccel, words, counts,
@@ -669,7 +670,6 @@ def any_hit_tiles_graded(o_t, d_t, t_max_t, accel: ClusterAccel, words,
     need_b1 = jnp.sum(counts > 1)
     need_zero = jnp.sum(counts > 0)
     need_ultra = jnp.sum(counts > ULTRA_K)
-    need_ultra2 = jnp.sum(counts > ULTRA_K2)
     excess = jnp.sum(counts_s[Z:] > 0).astype(jnp.int32)
     if k_mid is not None:
         excess = excess + jnp.sum(counts_s[U:Z] > k_mid).astype(jnp.int32)
@@ -699,7 +699,7 @@ def any_hit_tiles_graded(o_t, d_t, t_max_t, accel: ClusterAccel, words,
     if n_tiles > Z:
         parts.append(jnp.zeros((n_tiles - Z, tr), bool))
     occ = jnp.concatenate(parts)[inv]
-    return occ, excess, (need_b1, need_zero, need_ultra, need_ultra2)
+    return occ, excess, (need_b1, need_zero, need_ultra)
 
 
 def _anyhit_prep(o_t, d_t, t_max_t, accel, words, counts):

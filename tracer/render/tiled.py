@@ -165,8 +165,6 @@ def render_tiled(scene, accel: ClusterAccel, camera: Camera,
     need_sh_zero = jnp.int32(0)
     need_ultra = jnp.int32(0)
     need_sh_ultra = jnp.int32(0)
-    need_ultra2 = jnp.int32(0)
-    need_sh_ultra2 = jnp.int32(0)
     need_s_mid = jnp.int32(0)
     o_t, d_t, tiling = generate_rays_tiled(camera, height, width, tr)
     n_tiles = o_t.shape[0]
@@ -201,7 +199,6 @@ def render_tiled(scene, accel: ClusterAccel, camera: Camera,
         need_split = jnp.maximum(need_split, sneed[0])
         need_zero = jnp.maximum(need_zero, sneed[1])
         need_ultra = jnp.maximum(need_ultra, sneed[2])
-        need_ultra2 = jnp.maximum(need_ultra2, sneed[3])
         v0 = rows[..., 0:3]
         e1 = rows[..., 3:6]
         e2 = rows[..., 6:9]
@@ -251,7 +248,6 @@ def render_tiled(scene, accel: ClusterAccel, camera: Camera,
             need_sh_b1 = jnp.maximum(need_sh_b1, sneed[0])
             need_sh_zero = jnp.maximum(need_sh_zero, sneed[1])
             need_sh_ultra = jnp.maximum(need_sh_ultra, sneed[2])
-            need_sh_ultra2 = jnp.maximum(need_sh_ultra2, sneed[3])
             vis = jnp.where(occ | ~lit, 0.0, 1.0)
             falloff = (vis / jnp.maximum(dist2, 1e-20))[..., None] * lint
             brdf = (albedo / jnp.pi * cos[..., None]
@@ -284,8 +280,6 @@ def render_tiled(scene, accel: ClusterAccel, camera: Camera,
                      "need_sh_b1": need_sh_b1, "need_sh_zero": need_sh_zero,
                      "need_ultra": need_ultra,
                      "need_sh_ultra": need_sh_ultra,
-                     "need_ultra2": need_ultra2,
-                     "need_sh_ultra2": need_sh_ultra2,
                      "need_s_mid": need_s_mid,
                      "live_rays": live_rays}
     return img

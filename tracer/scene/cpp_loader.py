@@ -58,6 +58,9 @@ def _load() -> ctypes.CDLL:
     except LoaderUnavailable as e:
         _build_error = str(e)
         raise
+    except Exception as e:  # timeout, OSError from the retry dlopen, ...
+        _build_error = f"{type(e).__name__}: {e}"
+        raise LoaderUnavailable(_build_error) from e
     i64 = ctypes.c_int64
     lib.obj_parse.restype = i64
     lib.obj_parse.argtypes = [ctypes.c_char_p]

@@ -58,7 +58,10 @@ def _parse_obj_python(path: str):
             if tag == "v":
                 verts.append([float(parts[1]), float(parts[2]), float(parts[3])])
             elif tag == "mtllib":
-                mtl_lib.update(_parse_mtl(os.path.join(os.path.dirname(path), parts[1])))
+                # OBJ allows several library files per mtllib line.
+                for lib in parts[1:]:
+                    mtl_lib.update(
+                        _parse_mtl(os.path.join(os.path.dirname(path), lib)))
             elif tag == "usemtl":
                 name = parts[1]
                 if name not in mat_index:
