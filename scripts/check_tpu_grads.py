@@ -18,15 +18,22 @@ from tracer.utils.config import load_config
 
 def grads_via_sgd(step, scene, camera, target, params):
     opt = optax.sgd(1.0)
-    loss, new_params, _ = step(scene, camera, target, params,
-                               opt.init(params))
+    loss, new_params, _, aux = step(scene, camera, target, params,
+                                    opt.init(params))
+    assert int(aux["overflow"]) == 0
     return loss, jax.tree.map(lambda a, b: a - b, params, new_params)
 
 
 def main():
     cfg = load_config("bunny-grad", height=64, width=64, use_pallas=True)
     scene, camera = get_scene(cfg)
-    target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    # A REAL rendered target, not zeros: the r5 untile-fusion
+    # miscompilation mis-indexed a closed-over target constant in
+    # `img - target`, which zeros can never catch. Perturbed so the loss
+    # and grads are nonzero.
+    from tracer.api import make_render_fn
+
+    target = jnp.asarray(make_render_fn(scene, cfg)(scene, camera)) + 0.05
     params = {"verts": scene.verts,
               "albedo": jnp.asarray(scene.materials.albedo)}
     opt = optax.sgd(1.0)

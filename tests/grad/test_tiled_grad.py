@@ -26,8 +26,9 @@ CFG = load_config("bunny-grad", height=32, width=32, use_pallas=True)
 def _grads_via_sgd(step, scene, camera, target, params):
     """Recover grads from one step of sgd(1.0): g = params - new_params."""
     opt = optax.sgd(1.0)
-    loss, new_params, _ = step(scene, camera, target, params,
-                               opt.init(params))
+    loss, new_params, _, aux = step(scene, camera, target, params,
+                                    opt.init(params))
+    assert int(aux["overflow"]) == 0
     return loss, jax.tree.map(lambda a, b: a - b, params, new_params)
 
 

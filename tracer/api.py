@@ -523,8 +523,10 @@ def sized_tiled_caps(scene: Scene, camera: Camera, cfg: RenderConfig,
 def make_grad_step_fn(cfg: RenderConfig, optimizer, scene: Scene = None,
                       camera: Camera = None, tiled: str = "auto"):
     """Jitted (scene, camera, target, params, opt_state) ->
-    (loss, params, opt_state) optimization step of the image MSE w.r.t.
-    scene params. `params` selects what is optimized: dict with optional
+    (loss, params, opt_state, aux) optimization step of the image MSE
+    w.r.t. scene params; aux["overflow"] counts cull candidates dropped
+    because the parameters outgrew the sized caps (0 == exact gradients —
+    the jnp tiers are structurally 0; callers warn/re-size on nonzero). `params` selects what is optimized: dict with optional
     keys 'verts', 'albedo', 'cam_pos'. Used by the inverse-rendering loop
     (tracer.diff.fit, BASELINE config 3).
 
@@ -582,20 +584,14 @@ def make_grad_step_fn(cfg: RenderConfig, optimizer, scene: Scene = None,
 
             (loss, overflow), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params)
-            # Surfaced truncation (r5 review): parameters that outgrow the
-            # sized caps' slack must not silently corrupt gradients — warn
-            # loudly from inside the jit (the 3-output step signature is
-            # kept for callers).
-            jax.lax.cond(
-                overflow > 0,
-                lambda o: jax.debug.print(
-                    "[tracer] WARNING: grad step dropped {} cull "
-                    "candidates — params outgrew the sized caps; rebuild "
-                    "the step to re-size", o),
-                lambda o: None,
-                overflow)
             updates, new_opt_state = optimizer.update(grads, opt_state, params)
-            return loss, optax.apply_updates(params, updates), new_opt_state
+            # Surfaced truncation (r5 review): parameters that outgrow the
+            # sized caps' slack must not silently corrupt gradients. The
+            # overflow rides the step OUTPUT (4th slot) — in-jit
+            # jax.debug.print is a host callback some PJRT transports
+            # (the remote-TPU tunnel) reject outright.
+            return (loss, optax.apply_updates(params, updates),
+                    new_opt_state, {"overflow": overflow})
 
         return step_tiled
 
@@ -618,7 +614,9 @@ def make_grad_step_fn(cfg: RenderConfig, optimizer, scene: Scene = None,
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
-        return loss, new_params, new_opt_state
+        # Same 4-output contract as the tiled step; the jnp tiers cannot
+        # truncate, so overflow is structurally 0.
+        return loss, new_params, new_opt_state, {"overflow": jnp.int32(0)}
 
     return step
 
@@ -658,7 +656,15 @@ def grad_step(scene: Scene, camera: Camera, target: jax.Array, cfg: RenderConfig
         while len(_GRAD_STEP_CACHE) >= _GRAD_STEP_CACHE_MAX:
             _GRAD_STEP_CACHE.pop(next(iter(_GRAD_STEP_CACHE)))
         step = _GRAD_STEP_CACHE[key] = make_grad_step_fn(cfg, optimizer)
-    return step(scene, camera, target, params, opt_state)
+    loss, new_params, new_opt_state, aux = step(scene, camera, target,
+                                                params, opt_state)
+    if int(aux["overflow"]) != 0:
+        import sys
+
+        print(f"[tracer] WARNING: grad step dropped {int(aux['overflow'])} "
+              f"cull candidates — params outgrew the sized caps",
+              file=sys.stderr)
+    return loss, new_params, new_opt_state
 
 
 def benchmark(config: str | RenderConfig | None = None, iters: int = 10,
@@ -741,12 +747,16 @@ def benchmark_grad_step(config: str | RenderConfig | None = "bunny-grad",
     opt_state = optimizer.init(params)
     step = make_grad_step_fn(cfg, optimizer, scene=scene, camera=camera,
                              tiled=tiled)
+    aux = None
     for _ in range(max(warmup, 1)):
-        loss, params, opt_state = step(scene, camera, target, params, opt_state)
+        loss, params, opt_state, aux = step(scene, camera, target, params,
+                                            opt_state)
         jax.block_until_ready(loss)
     t0 = time.perf_counter()
     for _ in range(iters):
-        loss, params, opt_state = step(scene, camera, target, params, opt_state)
+        loss, params, opt_state, aux = step(scene, camera, target, params,
+                                            opt_state)
     jax.block_until_ready(loss)
     dt = (time.perf_counter() - t0) / iters
-    return {"grad_step_ms": dt * 1e3, "loss": float(loss), "config": cfg}
+    return {"grad_step_ms": dt * 1e3, "loss": float(loss),
+            "overflow": int(aux["overflow"]), "config": cfg}

@@ -93,16 +93,11 @@ def make_loss_fn(scene: Scene, camera: Camera, target: jax.Array,
                 shadow_split=tiled_caps[4], closest_ultra=tiled_caps[5],
                 shadow_ultra=tiled_caps[6], s_ultra=tiled_caps[7],
                 interpret=_tiled_interpret(), with_aux=True)
-            # Surfaced truncation (r5 review): warn if the optimization
-            # moved the scene past the sized caps' slack.
-            jax.lax.cond(
-                aux["overflow"] > 0,
-                lambda o: jax.debug.print(
-                    "[tracer] WARNING: fit step dropped {} cull "
-                    "candidates — params outgrew the sized caps", o),
-                lambda o: None,
-                aux["overflow"])
-            return jnp.mean((img - target) ** 2)
+            # Surfaced truncation (r5 review): the overflow count rides
+            # the loss aux; fit()'s host loop warns on nonzero (in-jit
+            # debug prints are host callbacks some PJRT transports
+            # reject).
+            return jnp.mean((img - target) ** 2), aux["overflow"]
         rays = generate_rays(camera, cfg.height, cfg.width)
         if fcfg.edge_aware and cfg.use_bvh:
             # Accel-tier silhouette gradients: smooth edge terms restricted
@@ -132,7 +127,7 @@ def make_loss_fn(scene: Scene, camera: Camera, target: jax.Array,
                       else cfg)
             trace_fn, occlude_fn = build_tracers(s, cfg_nd)
             img = render_wavefront(s, rays, wcfg, trace_fn, occlude_fn)
-        return jnp.mean((img - target) ** 2)
+        return jnp.mean((img - target) ** 2), jnp.int32(0)
 
     return loss_fn
 
@@ -202,14 +197,24 @@ def fit(scene: Scene, camera: Camera, target: jax.Array, cfg: RenderConfig,
 
     @jax.jit
     def step_fn(params, opt_state):
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        (loss, overflow), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
-        return loss, optax.apply_updates(params, updates), opt_state
+        return loss, overflow, optax.apply_updates(params, updates), opt_state
 
     losses = []
+    warned = False
     for step in range(start_step, fcfg.steps):
-        loss, params, opt_state = step_fn(params, opt_state)
+        loss, overflow, params, opt_state = step_fn(params, opt_state)
         losses.append(float(loss))
+        if not warned and int(overflow) != 0:
+            import sys
+
+            print(f"[fit] WARNING: step {step} dropped {int(overflow)} "
+                  f"cull candidates — params outgrew the sized caps' "
+                  f"slack; gradients are on truncated geometry",
+                  file=sys.stderr)
+            warned = True
         if metrics is not None:
             metrics.log(step=step, loss=float(loss))
         if log_every and step % log_every == 0:

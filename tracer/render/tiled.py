@@ -273,6 +273,15 @@ def render_tiled(scene, accel: ClusterAccel, camera: Camera,
             throughput = throughput * mirror
 
     img = untile(radiance, tiling)
+    # Fusion shield (measured TPU miscompilation, r5): when a downstream
+    # elementwise op against a CLOSED-OVER array constant (e.g. a loss's
+    # `img - target` with target captured in the jit) is fused into this
+    # untile transpose, the constant is mis-indexed — mean(img) was exact
+    # while mean((img - target)^2) returned 5.1e-3 for target == img
+    # (bunny512, v5e). The barrier pins the image at its materialized
+    # layout before any consumer fusion; identity for values and
+    # gradients, free in practice (the image is usually an output).
+    img = jax.lax.optimization_barrier(img)
     if with_aux:
         return img, {"overflow": overflow, "need_closest": need_closest,
                      "need_shadow": need_shadow, "need_s": need_s,
