@@ -110,6 +110,8 @@ def main() -> int:
             g5 = benchmark_grad_step("bunny512", iters=3, warmup=1,
                                      params=("verts", "albedo", "cam_pos"))
             detail["grad_step_bunny512_ms"] = round(g5["grad_step_ms"], 3)
+            # Gradients on truncated geometry are not a result either.
+            detail["grad_step_bunny512_overflow"] = g5.get("overflow")
         except Exception as e:  # pragma: no cover
             detail["grad_step_512_error"] = str(e)[:200]
         try:

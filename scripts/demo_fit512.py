@@ -2,13 +2,13 @@
 """Config-3 flagship demo at spec scale: recover a vertex perturbation of
 the 82k-tri bunny from a 512x512 target image by gradient descent through
 the TILED Pallas tier (diff/fit.py routes there automatically on TPU).
-Reports the loss curve and wall time — the whole 120-step optimization
-runs in well under a minute at ~40 ms/step."""
+Reports the loss curve and wall time — 150 vertex steps plus 80 albedo
+steps run in under two minutes at ~40 ms/step (most of the wall time is
+the one-time sizing + compile)."""
 import sys, os, time, dataclasses
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -44,8 +44,6 @@ def main():
     print(f"[verts] vertex RMS error: {rms0:.5f} -> {rms1:.5f}", flush=True)
 
     # Albedo recovery: well-conditioned for interior gradients.
-    import jax as _jax
-
     mats = scene.materials
     bad = dataclasses.replace(
         scene, materials=dataclasses.replace(

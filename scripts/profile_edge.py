@@ -29,7 +29,9 @@ def one(res, subdiv):
 
     @jax.jit
     def step(params, st):
-        loss, g = jax.value_and_grad(loss_fn)(params)
+        # make_loss_fn returns (loss, overflow) — differentiate with
+        # has_aux like fit()'s step_fn.
+        (loss, _ovf), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
         up, st = opt.update(g, st, params)
         return loss, optax.apply_updates(params, up), st
 

@@ -524,9 +524,10 @@ def make_grad_step_fn(cfg: RenderConfig, optimizer, scene: Scene = None,
                       camera: Camera = None, tiled: str = "auto"):
     """Jitted (scene, camera, target, params, opt_state) ->
     (loss, params, opt_state, aux) optimization step of the image MSE
-    w.r.t. scene params; aux["overflow"] counts cull candidates dropped
-    because the parameters outgrew the sized caps (0 == exact gradients —
-    the jnp tiers are structurally 0; callers warn/re-size on nonzero). `params` selects what is optimized: dict with optional
+    w.r.t. scene params. aux["overflow"] counts cull candidates dropped
+    because the parameters outgrew the sized caps: 0 means exact
+    gradients (the jnp tiers are structurally 0); callers should warn or
+    re-size on nonzero. `params` selects what is optimized: dict with optional
     keys 'verts', 'albedo', 'cam_pos'. Used by the inverse-rendering loop
     (tracer.diff.fit, BASELINE config 3).
 
@@ -631,6 +632,7 @@ def make_grad_step_fn(cfg: RenderConfig, optimizer, scene: Scene = None,
 # still prefer make_grad_step_fn.
 _GRAD_STEP_CACHE: dict = {}
 _GRAD_STEP_CACHE_MAX = 4
+_GRAD_STEP_CALLS = 0
 _DEFAULT_ADAM = None
 
 
@@ -658,7 +660,13 @@ def grad_step(scene: Scene, camera: Camera, target: jax.Array, cfg: RenderConfig
         step = _GRAD_STEP_CACHE[key] = make_grad_step_fn(cfg, optimizer)
     loss, new_params, new_opt_state, aux = step(scene, camera, target,
                                                 params, opt_state)
-    if int(aux["overflow"]) != 0:
+    # Overflow check: reading the scalar forces a device sync, which would
+    # serialize a tight loop over this wrapper — check the first and then
+    # every 16th call (loops should prefer make_grad_step_fn and read the
+    # step's aux themselves).
+    global _GRAD_STEP_CALLS
+    _GRAD_STEP_CALLS += 1
+    if _GRAD_STEP_CALLS % 16 in (1,) and int(aux["overflow"]) != 0:
         import sys
 
         print(f"[tracer] WARNING: grad step dropped {int(aux['overflow'])} "
