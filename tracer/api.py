@@ -485,9 +485,15 @@ def render(config: str | RenderConfig | None = None, **overrides) -> np.ndarray:
 def _apply_grad_params(scene: Scene, camera: Camera, p: dict):
     import dataclasses as dc
 
+    from tracer.scene.types import compute_vertex_normals_jnp
+
     s = scene
     if "verts" in p:
-        s = dc.replace(s, verts=p["verts"])
+        # Normals track the optimized vertices (differentiably) — see
+        # diff.fit._apply_params.
+        s = dc.replace(s, verts=p["verts"],
+                       normals=compute_vertex_normals_jnp(p["verts"],
+                                                          s.tris))
     if "albedo" in p:
         s = dc.replace(s, materials=dc.replace(s.materials, albedo=p["albedo"]))
     cam = camera

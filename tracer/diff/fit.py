@@ -46,7 +46,15 @@ class FitConfig:
 
 def _apply_params(scene: Scene, params: dict) -> Scene:
     if "vert_offset" in params:
-        scene = dc.replace(scene, verts=scene.verts + params["vert_offset"])
+        from tracer.scene.types import compute_vertex_normals_jnp
+
+        verts = scene.verts + params["vert_offset"]
+        # Recompute smooth-shading normals from the CURRENT vertices
+        # (differentiably): stale load-time normals make interior vertex
+        # motion nearly invisible to the loss (r5 demo finding).
+        scene = dc.replace(scene, verts=verts,
+                           normals=compute_vertex_normals_jnp(verts,
+                                                              scene.tris))
     if "albedo" in params:
         scene = dc.replace(
             scene, materials=dc.replace(scene.materials, albedo=params["albedo"]))

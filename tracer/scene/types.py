@@ -107,6 +107,23 @@ def compute_vertex_normals(verts: np.ndarray, tris: np.ndarray) -> np.ndarray:
     return (out / np.maximum(norm, 1e-20)).astype(np.float32)
 
 
+def compute_vertex_normals_jnp(verts: jax.Array, tris: jax.Array) -> jax.Array:
+    """compute_vertex_normals as traceable, DIFFERENTIABLE jnp (same
+    area-weighted formula; scatter-add via .at[].add). Used by the
+    optimization paths so smooth-shading normals track moving vertices —
+    with stale load-time normals, interior vertex motion is nearly
+    invisible to the image loss and gradients vanish."""
+    v0 = verts[tris[:, 0]]
+    v1 = verts[tris[:, 1]]
+    v2 = verts[tris[:, 2]]
+    fn = jnp.cross(v1 - v0, v2 - v0)
+    out = jnp.zeros_like(verts)
+    for k in range(3):
+        out = out.at[tris[:, k]].add(fn)
+    norm = jnp.linalg.norm(out, axis=-1, keepdims=True)
+    return out / jnp.maximum(norm, 1e-20)
+
+
 def merge_meshes(parts):
     """Concatenate (verts, tris, mat_id) triples with index fix-up."""
     verts, tris, mats = [], [], []
