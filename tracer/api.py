@@ -482,7 +482,8 @@ def render(config: str | RenderConfig | None = None, **overrides) -> np.ndarray:
     return np.asarray(run(scene, camera))
 
 
-def _apply_grad_params(scene: Scene, camera: Camera, p: dict):
+def _apply_grad_params(scene: Scene, camera: Camera, p: dict,
+                       normal_fn=None):
     import dataclasses as dc
 
     from tracer.scene.types import compute_vertex_normals_jnp
@@ -490,10 +491,12 @@ def _apply_grad_params(scene: Scene, camera: Camera, p: dict):
     s = scene
     if "verts" in p:
         # Normals track the optimized vertices (differentiably) — see
-        # diff.fit._apply_params.
-        s = dc.replace(s, verts=p["verts"],
-                       normals=compute_vertex_normals_jnp(p["verts"],
-                                                          s.tris))
+        # diff.fit._apply_params. `normal_fn` is the precomputed-incidence
+        # gather version (make_vertex_normal_fn) when the topology is
+        # known concretely; the scatter fallback works for traced scenes.
+        normals = (normal_fn(p["verts"]) if normal_fn is not None
+                   else compute_vertex_normals_jnp(p["verts"], s.tris))
+        s = dc.replace(s, verts=p["verts"], normals=normals)
     if "albedo" in p:
         s = dc.replace(s, materials=dc.replace(s.materials, albedo=p["albedo"]))
     cam = camera
@@ -556,6 +559,12 @@ def make_grad_step_fn(cfg: RenderConfig, optimizer, scene: Scene = None,
         from tracer.render.tiled import render_tiled
 
         interpret = tiled == "interpret" or _tiled_interpret()
+        normal_fn = None
+        if scene is not None:
+            from tracer.scene.types import make_vertex_normal_fn
+
+            normal_fn = make_vertex_normal_fn(np.asarray(scene.tris),
+                                              scene.verts.shape[0])
         if tiled == "interpret":
             # Always-correct caps: render_tiled/cull clamp k to the
             # cluster count and s to the supercluster count, so huge
@@ -571,7 +580,8 @@ def make_grad_step_fn(cfg: RenderConfig, optimizer, scene: Scene = None,
         def step_tiled(scene: Scene, camera: Camera, target: jax.Array,
                        params, opt_state):
             def loss_fn(p):
-                s, cam = _apply_grad_params(scene, camera, p)
+                s, cam = _apply_grad_params(scene, camera, p,
+                                            normal_fn=normal_fn)
                 # Accel built INSIDE the loss: cluster assignment and the
                 # kernels are stop-gradiented (piecewise constant), but the
                 # shade rows (v0/e1/e2/normals/albedo) are differentiable

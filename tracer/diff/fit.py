@@ -44,7 +44,7 @@ class FitConfig:
     checkpoint_dir: str = ""        # empty = no checkpointing
 
 
-def _apply_params(scene: Scene, params: dict) -> Scene:
+def _apply_params(scene: Scene, params: dict, normal_fn=None) -> Scene:
     if "vert_offset" in params:
         from tracer.scene.types import compute_vertex_normals_jnp
 
@@ -52,9 +52,11 @@ def _apply_params(scene: Scene, params: dict) -> Scene:
         # Recompute smooth-shading normals from the CURRENT vertices
         # (differentiably): stale load-time normals make interior vertex
         # motion nearly invisible to the loss (r5 demo finding).
-        scene = dc.replace(scene, verts=verts,
-                           normals=compute_vertex_normals_jnp(verts,
-                                                              scene.tris))
+        # normal_fn = precomputed-incidence gather (make_vertex_normal_fn,
+        # ~free) when topology is concrete; scatter fallback otherwise.
+        normals = (normal_fn(verts) if normal_fn is not None
+                   else compute_vertex_normals_jnp(verts, scene.tris))
+        scene = dc.replace(scene, verts=verts, normals=normals)
     if "albedo" in params:
         scene = dc.replace(
             scene, materials=dc.replace(scene.materials, albedo=params["albedo"]))
@@ -86,8 +88,13 @@ def make_loss_fn(scene: Scene, camera: Camera, target: jax.Array,
         if _use_tiled_path(scene, cfg):
             tiled_caps = sized_tiled_caps(scene, camera, cfg)
 
+    from tracer.scene.types import make_vertex_normal_fn
+
+    normal_fn = make_vertex_normal_fn(np.asarray(scene.tris),
+                                      scene.verts.shape[0])
+
     def loss_fn(params):
-        s = _apply_params(scene, params)
+        s = _apply_params(scene, params, normal_fn=normal_fn)
         if tiled_caps is not None:
             from tracer.api import _tiled_interpret
             from tracer.bvh import build_scene_accel

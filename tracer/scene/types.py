@@ -124,6 +124,45 @@ def compute_vertex_normals_jnp(verts: jax.Array, tris: jax.Array) -> jax.Array:
     return out / jnp.maximum(norm, 1e-20)
 
 
+def make_vertex_normal_fn(tris_np, n_verts: int):
+    """Precompute a (V, D) face-incidence table from the STATIC topology
+    and return a differentiable verts -> normals closure that assembles
+    area-weighted vertex normals with one GATHER instead of a scatter-add
+    (TPU scatter is sort-based and cost ~10 ms/step at 82k verts in the
+    grad loop; the gather is ~free). Padding slots index a zero face
+    normal appended past the real faces."""
+    tris_np = np.asarray(tris_np)
+    n_faces = len(tris_np)
+    # (vertex, face) incidence pairs, grouped by vertex via argsort — a
+    # vertex can appear in the same corner column of many faces, so a
+    # vectorized cursor update would collide; sorting sidesteps it.
+    pair_v = tris_np.T.reshape(-1).astype(np.int64)
+    pair_f = np.tile(np.arange(n_faces, dtype=np.int32), 3)
+    order = np.argsort(pair_v, kind="stable")
+    pair_v = pair_v[order]
+    pair_f = pair_f[order]
+    counts = np.bincount(pair_v, minlength=n_verts)
+    D = max(1, int(counts.max()))
+    inc = np.full((n_verts, D), n_faces, np.int32)  # pad -> zero row
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    slot = np.arange(len(pair_v)) - starts[pair_v]
+    inc[pair_v, slot] = pair_f
+    inc_dev = jnp.asarray(inc)
+    tris_dev = jnp.asarray(tris_np.astype(np.int32))
+
+    def normals_of(verts: jax.Array) -> jax.Array:
+        v0 = verts[tris_dev[:, 0]]
+        v1 = verts[tris_dev[:, 1]]
+        v2 = verts[tris_dev[:, 2]]
+        fn = jnp.cross(v1 - v0, v2 - v0)
+        fn_pad = jnp.concatenate([fn, jnp.zeros((1, 3), fn.dtype)])
+        acc = fn_pad[inc_dev].sum(axis=1)
+        norm = jnp.linalg.norm(acc, axis=-1, keepdims=True)
+        return acc / jnp.maximum(norm, 1e-20)
+
+    return normals_of
+
+
 def merge_meshes(parts):
     """Concatenate (verts, tris, mat_id) triples with index fix-up."""
     verts, tris, mats = [], [], []
