@@ -241,3 +241,45 @@ def test_anyhit_graded_matches_ungraded(bunny):
         o_t, d_t, tm, accel, words, counts, b1 + 8, z + 8,
         ultra_split=0, k_mid=k_mid, interpret=True)
     assert int(excess5) == n_over
+
+
+def test_shared_origin_bit_identical(bunny):
+    """shared_o=True (origin-side products computed once off ray 0 and
+    broadcast — the primary/shadow-pass specialization) is BIT-identical
+    to the per-ray default whenever every ray in the pass carries the same
+    exact origin, for both the closest split and the graded any-hit."""
+    from tracer.bvh.cull import cull_clusters_sorted2
+    from tracer.kernels.traversal import generate_rays_tiled
+    from tracer.kernels.traversal2 import (
+        trace_tiles_split, any_hit_tiles_graded)
+
+    scene, cam = bunny
+    accel = build_clusters(scene.verts, scene.tris, cluster_size=32)
+    # Primary rays: generate_rays_tiled broadcasts cam.position exactly.
+    o_t, d_t, _ = generate_rays_tiled(cam, 64, 64, 64)
+    k = max(8, -(-min(64, accel.num_clusters) // 8) * 8)
+    words, counts, _, _ = cull_clusters_sorted2(accel, o_t, d_t, T_FAR, k)
+    nt = o_t.shape[0]
+    bt0, gid0, e0, _ = trace_tiles_split(o_t, d_t, accel, words, counts,
+                                         nt, nt, interpret=True)
+    bt1, gid1, e1, _ = trace_tiles_split(o_t, d_t, accel, words, counts,
+                                         nt, nt, interpret=True,
+                                         shared_o=True)
+    assert int(e0) == int(e1) == 0
+    np.testing.assert_array_equal(np.asarray(bt0), np.asarray(bt1))
+    np.testing.assert_array_equal(np.asarray(gid0), np.asarray(gid1))
+
+    # Light-origin shadow segments: o = broadcast(light), d = p - light.
+    lpos = jnp.asarray([0.3, 1.4, 0.2], jnp.float32)
+    p = o_t + jnp.minimum(bt0, 3.0)[..., None] * d_t
+    o2 = jnp.broadcast_to(lpos, p.shape)
+    d2 = p - lpos
+    tm = jnp.full(o2.shape[:2], 1.0 - 1e-3, jnp.float32)
+    w2, c2, _, _ = cull_clusters_sorted2(accel, o2, d2, tm, k)
+    occ0, x0, _ = any_hit_tiles_graded(o2, d2, tm, accel, w2, c2, nt, nt,
+                                       interpret=True)
+    occ1, x1, _ = any_hit_tiles_graded(o2, d2, tm, accel, w2, c2, nt, nt,
+                                       interpret=True, shared_o=True)
+    assert int(x0) == int(x1) == 0
+    np.testing.assert_array_equal(np.asarray(occ0), np.asarray(occ1))
+    assert float(np.asarray(occ1).mean()) > 0.0

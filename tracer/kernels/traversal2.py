@@ -91,21 +91,31 @@ def _batch_best(tvs, bids, bt_prev, bid_prev):
     return jnp.where(better, tmin, bt_prev), jnp.where(better, bid_new, bid_prev)
 
 
-def _products(o4, d4, w):
+def _products(o4, d4, w, *, shared_o: bool = False):
     """(TR, 4) x (4, 3C) via broadcast FMA on the VPU (fp32-exact).
 
     Exploits the homogeneous structure: o4[:, 3] == 1 (the w-row is a plain
     bias) and d4[:, 3] == 0 (directions have no translation component), so
     so costs 3 FMAs + 1 add and sd costs 1 mul + 2 FMAs instead of 4 each.
+
+    shared_o=True: every ray in the pass shares ONE exact origin (primary
+    rays from the camera, light-origin shadow segments), so the origin-side
+    product collapses from (TR, 3C) to a (1, 3C) row computed off ray 0 and
+    broadcast in the epilogue — bit-identical results (same values through
+    the same ops), ~1/3 fewer product vreg-ops per candidate. The caller
+    must guarantee the origins are EXACTLY equal (jnp.broadcast_to of one
+    point); per-ray origins with shared_o=True silently use ray 0's.
     """
-    so = (w[3:4, :] + o4[:, 0:1] * w[0:1, :] + o4[:, 1:2] * w[1:2, :]
-          + o4[:, 2:3] * w[2:3, :])
+    o_rows = o4[0:1, :] if shared_o else o4
+    so = (w[3:4, :] + o_rows[:, 0:1] * w[0:1, :] + o_rows[:, 1:2] * w[1:2, :]
+          + o_rows[:, 2:3] * w[2:3, :])
     sd = (d4[:, 0:1] * w[0:1, :] + d4[:, 1:2] * w[1:2, :]
           + d4[:, 2:3] * w[2:3, :])
     return so, sd
 
 
-def _cluster_t(o4, d4, w, c, t_min, t_max_col, *, approx: bool = False):
+def _cluster_t(o4, d4, w, c, t_min, t_max_col, *, approx: bool = False,
+               shared_o: bool = False):
     """Intersect one tile against one cluster -> tv (TR, C): t or T_FAR.
 
     approx=True uses the VPU's approximate-reciprocal op instead of a
@@ -117,7 +127,7 @@ def _cluster_t(o4, d4, w, c, t_min, t_max_col, *, approx: bool = False):
     # measured 45% SLOWER end to end (closest 56 -> 82 ms at 1080p/100k) —
     # the K=8-thin fp32 multi-pass matmul loses to these structured
     # broadcast FMAs. See PERF_NOTES.md.
-    so, sd = _products(o4, d4, w)
+    so, sd = _products(o4, d4, w, shared_o=shared_o)
     den = sd[:, 0:c]
     # RAW IEEE divide, no den == 0 pre-guard: when den is 0 the quotient
     # is +-inf (or NaN for 0/0), u/v become inf/NaN, and every comparison
@@ -173,7 +183,8 @@ def _slab_enter(rt, lo0, lo1, lo2, hi0, hi1, hi2):
     return jnp.where(ok, enter, _BIG)
 
 
-def _closest_kernel(k_cap, c, t_min, g_sz, batch, n_cl, approx, words, counts,
+def _closest_kernel(k_cap, c, t_min, g_sz, batch, n_cl, approx, shared_o,
+                    words, counts,
                     o4_ref, d4_ref, w_ref, bt_ref, bid_ref, btT_ref):
     """Closest-hit kernel body: per-tile while_loop, G tiles per grid step.
 
@@ -225,7 +236,8 @@ def _closest_kernel(k_cap, c, t_min, g_sz, batch, n_cl, approx, words, counts,
                 cl = jnp.minimum(word & _CL_MASK, n_cl - 1)
                 live = k + j < n
                 w = _w_half(w_ref, cl)  # (4, 3C) affine-map rows
-                tv = _cluster_t(o4, d4, w, c, t_min, T_FAR, approx=approx)
+                tv = _cluster_t(o4, d4, w, c, t_min, T_FAR, approx=approx,
+                                shared_o=shared_o)
                 tvs.append(jnp.where(live, tv, T_FAR))
                 bids.append(slots + cl * c)
             bt_ref[g], bid_ref[g] = _batch_best(tvs, bids, bt_ref[g],
@@ -237,7 +249,8 @@ def _closest_kernel(k_cap, c, t_min, g_sz, batch, n_cl, approx, words, counts,
         jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(_T_FAR_BITS)))
 
 
-def _closest_fast_kernel(k_cap, c, t_min, g_sz, batch, n_cl, words, counts,
+def _closest_fast_kernel(k_cap, c, t_min, g_sz, batch, n_cl, shared_o,
+                         words, counts,
                          o4_ref, d4_ref, w_ref, bt_ref, bid_ref):
     """Straight-line closest-hit for tiles with count <= batch (the p50 == 1
     regime: 70% of bench tiles hold 13% of the candidate mass). No
@@ -261,7 +274,7 @@ def _closest_fast_kernel(k_cap, c, t_min, g_sz, batch, n_cl, words, counts,
             cl = jnp.minimum(word & _CL_MASK, n_cl - 1)
             live = j < n
             w = _w_half(w_ref, cl)
-            tv = _cluster_t(o4, d4, w, c, t_min, T_FAR)
+            tv = _cluster_t(o4, d4, w, c, t_min, T_FAR, shared_o=shared_o)
             tvs.append(jnp.where(live, tv, T_FAR))
             bids.append(slots + cl * c)
         bt, bid = _batch_best(tvs, bids, jnp.full((tr, 1), T_FAR, jnp.float32),
@@ -270,7 +283,8 @@ def _closest_fast_kernel(k_cap, c, t_min, g_sz, batch, n_cl, words, counts,
         bid_ref[g] = bid
 
 
-def _anyhit_kernel(k_cap, c, t_min, g_sz, batch, n_cl, approx, words, counts,
+def _anyhit_kernel(k_cap, c, t_min, g_sz, batch, n_cl, approx, shared_o,
+                   words, counts,
                    o4_ref, d4_ref, tmax_ref, w_ref, occ_ref, occC_ref):
     """Occlusion kernel: LOCKSTEP tile groups (see _closest_kernel).
     Occlusion accumulates in column layout (occC scratch, (G, TR, 1)) and is
@@ -316,7 +330,7 @@ def _anyhit_kernel(k_cap, c, t_min, g_sz, batch, n_cl, approx, words, counts,
                 live = k + j < n
                 w = _w_half(w_ref, cl)
                 tv = _cluster_t(o4, d4, w, c, t_min, tmax_col,
-                                approx=approx)
+                                approx=approx, shared_o=shared_o)
                 tv = jnp.where(live, tv, T_FAR)
                 m = tv if m is None else jnp.minimum(m, tv)
             hit_any = jnp.min(m, axis=-1, keepdims=True) < T_FAR
@@ -383,17 +397,18 @@ def _pad_tiles(x, n):
 
 def trace_tiles_sorted(o_t, d_t, accel: ClusterAccel, words, counts,
                        t_min=T_MIN, interpret: bool = False,
-                       group: int = DEFAULT_GROUP, batch: int = DEFAULT_BATCH):
+                       group: int = DEFAULT_GROUP, batch: int = DEFAULT_BATCH,
+                       shared_o: bool = False):
     """Closest-hit: (bt, gid) each (Ntiles, TR); gid = sorted-order global
     triangle slot (cluster*C + slot), -1 on miss."""
     o4, d4 = _homog(o_t, d_t)
     w_all = _pad_w(accel.tri_w)
     return _run_sorted_region(o4, d4, words, counts, accel, t_min, interpret,
-                              group, batch, w_all)
+                              group, batch, w_all, shared_o)
 
 
 def _run_sorted_region(o4, d4, words, counts, accel: ClusterAccel, t_min,
-                       interpret, group, batch, w_all):
+                       interpret, group, batch, w_all, shared_o=False):
     """Generic while-loop closest-hit over a (possibly pre-sorted) tile
     slice; the chunked pallas_call machinery shared by trace_tiles_sorted
     (whole image) and trace_tiles_split (heavy region)."""
@@ -423,7 +438,7 @@ def _run_sorted_region(o4, d4, words, counts, accel: ClusterAccel, t_min,
         )
         return pl.pallas_call(
             functools.partial(_closest_kernel, k_cap, c, t_min, group, batch,
-                              accel.num_clusters, False),
+                              accel.num_clusters, False, shared_o),
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((o4c.shape[0], tr, 1), jnp.float32),
@@ -450,7 +465,7 @@ def _run_sorted_region(o4, d4, words, counts, accel: ClusterAccel, t_min,
 
 
 def _run_fast_region(o4, d4, words, counts, accel, t_min, interpret, group,
-                     batch, w_all):
+                     batch, w_all, shared_o=False):
     """Run _closest_fast_kernel over pre-sorted tile slices. Only the first
     `batch` candidate words per tile ship to SMEM (8-aligned slice)."""
     n_tiles, tr, _ = o4.shape
@@ -475,7 +490,7 @@ def _run_fast_region(o4, d4, words, counts, accel, t_min, interpret, group,
         )
         return pl.pallas_call(
             functools.partial(_closest_fast_kernel, kf, c, t_min, group,
-                              batch, accel.num_clusters),
+                              batch, accel.num_clusters, shared_o),
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((o4c.shape[0], tr, 1), jnp.float32),
@@ -526,7 +541,8 @@ def trace_tiles_split(o_t, d_t, accel: ClusterAccel, words, counts,
                       group: int = DEFAULT_GROUP, batch: int = SPLIT_BATCH,
                       fast_batch: int = FAST_BATCH,
                       fast_group: int = FAST_GROUP,
-                      ultra_split: int = 0, k_mid: int | None = None):
+                      ultra_split: int = 0, k_mid: int | None = None,
+                      shared_o: bool = False):
     """Closest-hit over count-sorted tiles, up to four tiers:
 
       [0, ultra_split)     generic kernel, FULL word width k_cap ("ultra":
@@ -589,7 +605,7 @@ def trace_tiles_split(o_t, d_t, accel: ClusterAccel, words, counts,
     if U > 0:
         bt_u, bid_u = _run_sorted_region(
             o4[:U], d4[:U], words_s[:U], counts_s[:U], accel, t_min,
-            interpret, group, batch, w_all)
+            interpret, group, batch, w_all, shared_o)
         parts_bt.append(bt_u)
         parts_bid.append(bid_u)
     if P > U:
@@ -602,13 +618,13 @@ def trace_tiles_split(o_t, d_t, accel: ClusterAccel, words, counts,
             cmid = jnp.minimum(cmid, k_mid)
         bt_g, bid_g = _run_sorted_region(
             o4[U:P], d4[U:P], wmid, cmid, accel, t_min,
-            interpret, group, batch, w_all)
+            interpret, group, batch, w_all, shared_o)
         parts_bt.append(bt_g)
         parts_bid.append(bid_g)
     if Z > P:
         bt_f, bid_f = _run_fast_region(
             o4[P:Z], d4[P:Z], words_s[P:Z], counts_s[P:Z], accel, t_min,
-            interpret, fast_group, fast_batch, w_all)
+            interpret, fast_group, fast_batch, w_all, shared_o)
         parts_bt.append(bt_f)
         parts_bid.append(bid_f)
     if n_tiles > Z:
@@ -621,12 +637,13 @@ def trace_tiles_split(o_t, d_t, accel: ClusterAccel, words, counts,
 
 def any_hit_tiles_sorted(o_t, d_t, t_max_t, accel: ClusterAccel, words, counts,
                          t_min=T_MIN, interpret: bool = False,
-                         group: int = DEFAULT_GROUP, batch: int = ANYHIT_BATCH):
+                         group: int = DEFAULT_GROUP, batch: int = ANYHIT_BATCH,
+                         shared_o: bool = False):
     """Occlusion: (Ntiles, TR) bool."""
     o4, d4, tmax3, order, inv, words_s, counts_s, w_all = _anyhit_prep(
         o_t, d_t, t_max_t, accel, words, counts)
     occ = _run_anyhit_region(o4, d4, tmax3, words_s, counts_s, accel, t_min,
-                             interpret, group, batch, w_all)
+                             interpret, group, batch, w_all, shared_o)
     return occ[inv]
 
 
@@ -635,7 +652,8 @@ def any_hit_tiles_graded(o_t, d_t, t_max_t, accel: ClusterAccel, words,
                          t_min=T_MIN, interpret: bool = False,
                          group: int = DEFAULT_GROUP,
                          batch: int = ANYHIT_BATCH,
-                         ultra_split: int = 0, k_mid: int | None = None):
+                         ultra_split: int = 0, k_mid: int | None = None,
+                         shared_o: bool = False):
     """Batch-graded occlusion over count-sorted tiles:
 
       [0, ultra_split)       lockstep kernel at B=batch, FULL word width
@@ -685,17 +703,17 @@ def any_hit_tiles_graded(o_t, d_t, t_max_t, accel: ClusterAccel, words,
     if U > 0:
         parts.append(_run_anyhit_region(
             o4[:U], d4[:U], tmax3[:U], words_s[:U], counts_s[:U], accel,
-            t_min, interpret, group, batch, w_all))
+            t_min, interpret, group, batch, w_all, shared_o))
     if S > U:
         w_m, c_m = mid(words_s[U:S], counts_s[U:S])
         parts.append(_run_anyhit_region(
             o4[U:S], d4[U:S], tmax3[U:S], w_m, c_m, accel,
-            t_min, interpret, group, batch, w_all))
+            t_min, interpret, group, batch, w_all, shared_o))
     if Z > S:
         w_m, c_m = mid(words_s[S:Z], counts_s[S:Z])
         parts.append(_run_anyhit_region(
             o4[S:Z], d4[S:Z], tmax3[S:Z], w_m, c_m,
-            accel, t_min, interpret, group, 1, w_all))
+            accel, t_min, interpret, group, 1, w_all, shared_o))
     if n_tiles > Z:
         parts.append(jnp.zeros((n_tiles - Z, tr), bool))
     occ = jnp.concatenate(parts)[inv]
@@ -717,7 +735,7 @@ def _anyhit_prep(o_t, d_t, t_max_t, accel, words, counts):
 
 
 def _run_anyhit_region(o4, d4, tmax3, words, counts, accel, t_min, interpret,
-                       group, batch, w_all):
+                       group, batch, w_all, shared_o=False):
     """Chunked pallas_call over a pre-sorted tile slice -> (n, TR) bool.
 
     NOTE: a three-tier split (no-while fast kernel + zero fill, mirroring
@@ -740,7 +758,7 @@ def _run_anyhit_region(o4, d4, tmax3, words, counts, accel, t_min, interpret,
         ]
         out_specs = [pl.BlockSpec((group, 1, tr), lambda i, *_: (i, 0, 0))]
         body = functools.partial(_anyhit_kernel, k_cap, c, t_min, group,
-                                 batch, accel.num_clusters, False)
+                                 batch, accel.num_clusters, False, shared_o)
         scratch = [pltpu.VMEM((group, tr, 1), jnp.float32)]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,

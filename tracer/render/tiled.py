@@ -60,7 +60,7 @@ def mt_from_edges(o, d, v0, e1, e2, t_min=T_MIN, eps=1e-12, bary_eps=1e-5):
 
 
 def _trace_rows(accel: ClusterAccel, o_t, d_t, k_cap, s_cap, split,
-                interpret, ultra=None, s_ultra=None):
+                interpret, ultra=None, s_ultra=None, shared_o=False):
     """Kernel selection pass -> (gid, rows, excess, need, split_need). All
     kernel inputs are stop-gradiented; gradients flow through the row
     recompute instead. `split` = (generic, nonzero) static tile partition
@@ -74,7 +74,8 @@ def _trace_rows(accel: ClusterAccel, o_t, d_t, k_cap, s_cap, split,
     u_split, k_mid = ultra if ultra is not None else (0, None)
     _bt, gid, t_excess, split_need = trace_tiles_split(
         sg(o_t), sg(d_t), accel_sg, words, counts, split[0], split[1],
-        interpret=interpret, ultra_split=u_split, k_mid=k_mid)
+        interpret=interpret, ultra_split=u_split, k_mid=k_mid,
+        shared_o=shared_o)
     # Gather from 128-lane rows: XLA's TPU row gather runs ~25% faster on
     # full-vreg rows than on the packed 32-col table (measured 8.7 -> 6.9
     # ms at 1080p), worth the transient 4x padded copy (XLA CSEs it across
@@ -116,9 +117,13 @@ def _segment_occluded(accel: ClusterAccel, light_pos, p_t, eps_t, k_cap,
     words, counts, excess, need = cull_clusters_sorted2(
         accel_sg, o_t, d_t, t_max_t, k_cap, s_cap, s_ultra=s_ultra)
     u_split, k_mid = ultra if ultra is not None else (0, None)
+    # shared_o: every segment of the pass originates at THE light point
+    # (o_t is a broadcast of light_pos) — the kernels' origin-side products
+    # collapse to one (1, 3C) row, bit-identically (traversal2._products).
     occ, t_excess, sneed = any_hit_tiles_graded(
         o_t, d_t, t_max_t, accel_sg, words, counts, split[0], split[1],
-        interpret=interpret, ultra_split=u_split, k_mid=k_mid)
+        interpret=interpret, ultra_split=u_split, k_mid=k_mid,
+        shared_o=True)
     return occ, excess + t_excess, need, sneed
 
 
@@ -188,10 +193,15 @@ def render_tiled(scene, accel: ClusterAccel, camera: Camera,
     for bounce in range(cfg.max_bounces):
         live_rays = live_rays + jnp.sum(jnp.any(d_t != 0.0, axis=-1),
                                         dtype=jnp.int32)
+        # bounce 0 = primary rays: one exact camera origin for every ray
+        # (generate_rays_tiled broadcasts camera.position), so the kernels
+        # can run the shared-origin product specialization; bounce rays
+        # have per-pixel origins and cannot.
         gid, rows, exc, need, sneed = _trace_rows(accel, o_t, d_t, kc, s_cap,
                                                   split, interpret,
                                                   ultra=closest_ultra,
-                                                  s_ultra=s_ultra)
+                                                  s_ultra=s_ultra,
+                                                  shared_o=(bounce == 0))
         overflow = overflow + exc
         need_closest = jnp.maximum(need_closest, need[0])
         need_s = jnp.maximum(need_s, need[1])
