@@ -80,9 +80,10 @@ def main():
     cnp2 = np.asarray(counts)
     p = int(-(-int((cnp2 > fb).sum() + 8) // 8) * 8)
     z = int(-(-int((cnp2 > 0).sum() + 8) // 8) * 8)
+    sofl = os.environ.get("SO", "0") == "1"  # shared-origin products
     closest_sp = jax.jit(lambda o, d, a, w, n: trace_tiles_split(
         o, d, a, w, n, p, z, batch=gb, group=gg,
-        fast_batch=fb, fast_group=fg)[:3])
+        fast_batch=fb, fast_group=fg, shared_o=sofl)[:3])
     ms = timeit(closest_sp, o_t, d_t, accel, words, counts)
     bt2, gid2, exc = closest_sp(o_t, d_t, accel, words, counts)
     agree = float(jnp.mean((gid2 == gid)))
@@ -112,7 +113,7 @@ def main():
     ab = int(os.environ.get("AB", str(ANYHIT_BATCH)))   # any-hit batch
     ag = int(os.environ.get("AG", "8"))   # any-hit group
     anyhit = jax.jit(lambda o, d, t, a, w, c: any_hit_tiles_sorted(
-        o, d, t, a, w, c, group=ag, batch=ab))
+        o, d, t, a, w, c, group=ag, batch=ab, shared_o=sofl))
     ms = timeit(anyhit, so, sd, tm, accel, w2, c2)
     print(f"anyhit:   {ms:8.2f} ms   ab={ab} ag={ag}", flush=True)
 

@@ -378,6 +378,12 @@ DEFAULT_GROUP = 8
 # (lockstep loop is n_max-bound): 38.5-39.4 across B=4/6/8.
 DEFAULT_BATCH = 2
 SPLIT_BATCH = 4
+# Shared-origin passes (primary closest, light-origin shadows) halve the
+# product work per candidate, which moves the closest generic-region
+# optimum to a deeper batch: measured with shared_o B=4 37.9 / B=6 37.0 /
+# B=8 36.6 / B=12 38.2 ms, so B=8. The any-hit pass stays at 4 (measured
+# 34.9 / 35.1 / 36.2 at B=4/6/8 shared — n_max-bound, as before).
+SPLIT_BATCH_SHARED = 8
 ANYHIT_BATCH = 4
 
 
@@ -538,7 +544,7 @@ ULTRA_K = 256
 def trace_tiles_split(o_t, d_t, accel: ClusterAccel, words, counts,
                       split: int, zero_split: int,
                       t_min=T_MIN, interpret: bool = False,
-                      group: int = DEFAULT_GROUP, batch: int = SPLIT_BATCH,
+                      group: int = DEFAULT_GROUP, batch: int | None = None,
                       fast_batch: int = FAST_BATCH,
                       fast_group: int = FAST_GROUP,
                       ultra_split: int = 0, k_mid: int | None = None,
@@ -573,6 +579,8 @@ def trace_tiles_split(o_t, d_t, accel: ClusterAccel, words, counts,
     (need_ultra = tiles with count > ULTRA_K, measured against the
     constant so the caller can decide to enable the tier).
     """
+    if batch is None:
+        batch = SPLIT_BATCH_SHARED if shared_o else SPLIT_BATCH
     n_tiles, tr, _ = o_t.shape
     order = jnp.argsort(-counts).astype(jnp.int32)
     inv = jnp.argsort(order).astype(jnp.int32)
